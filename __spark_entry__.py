@@ -1,38 +1,130 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Engine: dint_spark — PySpark-native full-text inverted index + BM25
+(capabilities of jermp/dint; see SURVEY.md).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _idx(spark: SparkSession, sf_dir: str):
+    from dint_spark.engine import get_index
+
+    return get_index(spark, sf_dir)
+
+
+def _queries(spark: SparkSession) -> DataFrame:
+    from dint_spark.queryset import queries_df
+
+    return queries_df(spark)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_ft_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _idx(spark, sf_dir)
+    return idx.vocab.select("term", "term_id", "df")
+
+
+def q_ft_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _idx(spark, sf_dir)
+    return idx.docs.select(
+        "doc_id", "doc_len", F.round("norm_len", 6).alias("norm_len")
+    )
+
+
+def q_ft_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _idx(spark, sf_dir)
+    return idx.postings.select("term_id", "doc_id", "tf")
+
+
+def q_ft_term_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _idx(spark, sf_dir)
+    return idx.term_meta.select(
+        "term_id", "df", F.round("max_weight", 6).alias("max_weight")
+    )
+
+
+def q_ft_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.boolean import and_query
+
+    idx = _idx(spark, sf_dir)
+    return and_query(idx.postings, _queries(spark))
+
+
+def q_ft_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.boolean import or_query
+
+    idx = _idx(spark, sf_dir)
+    return or_query(idx.postings, _queries(spark))
+
+
+def q_ft_ranked_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.ranked import ranked_or
+
+    idx = _idx(spark, sf_dir)
+    return ranked_or(idx.postings, _queries(spark), idx.vocab, idx.num_docs, k=10)
+
+
+def q_ft_ranked_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.ranked import ranked_and
+
+    idx = _idx(spark, sf_dir)
+    return ranked_and(idx.postings, _queries(spark), idx.vocab, idx.num_docs, k=10)
+
+
+def q_ft_intersect_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.boolean import intersect_pair
+
+    idx = _idx(spark, sf_dir)
+    return intersect_pair(idx.postings, "hash", "join")
+
+
+# ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 ranked-OR top-10 over sf0.001 documents."""
+    return q_ft_ranked_or(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ft_vocab": q_ft_vocab,
+        "ft_doc_stats": q_ft_doc_stats,
+        "ft_postings": q_ft_postings,
+        "ft_term_meta": q_ft_term_meta,
+        "ft_and": q_ft_and,
+        "ft_or": q_ft_or,
+        "ft_ranked_or": q_ft_ranked_or,
+        "ft_ranked_and": q_ft_ranked_and,
+        "ft_intersect_pair": q_ft_intersect_pair,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dint_spark.oracle import sqlgen as S
+
+    return {
+        "ft_vocab": S.VOCAB,
+        "ft_doc_stats": S.DOC_STATS,
+        "ft_postings": S.POSTINGS,
+        "ft_term_meta": S.TERM_META,
+        "ft_and": S.AND_COUNTS,
+        "ft_or": S.OR_COUNTS,
+        "ft_ranked_or": S.RANKED_OR,
+        "ft_ranked_and": S.RANKED_AND,
+        "ft_intersect_pair": S.intersect_pair_sql("hash", "join"),
+    }

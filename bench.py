@@ -1,0 +1,83 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
+
+Mirrors the reference's op_perftest protocol
+(/root/reference/src/queries.cpp:13-61): one untimed warmup pass per
+query, then timed runs; we also report queries/sec for the ranked batch
+(the north-rule headline) in the "extra" field.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from dint_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark("dint_spark_bench")
+
+    t_build0 = time.perf_counter()
+    from dint_spark.engine import get_index
+
+    idx = get_index(spark, sf_dir)  # builds + caches postings/docs/vocab/term_meta
+    n_postings = idx.postings.count()
+    t_build = time.perf_counter() - t_build0
+
+    headline = [
+        "ft_and",
+        "ft_or",
+        "ft_ranked_or",
+        "ft_ranked_and",
+        "ft_term_meta",
+    ]
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in headline:
+        fn = qs[name]
+        fn(spark, sf_dir).count()  # warmup (plan + cache touch), untimed
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    # north-rule headline: queries/sec for the 16-query ranked BM25 batch
+    from dint_spark.queryset import QUERY_SET
+
+    n_queries = len(QUERY_SET)
+    ranked_qps = n_queries / timings["ft_ranked_or"] if timings["ft_ranked_or"] else 0.0
+
+    out = {
+        "metric": "headline_query_suite_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": {
+            "index_build_sec": round(t_build, 4),
+            "n_postings": n_postings,
+            "num_docs": idx.num_docs,
+            "ranked_or_qps": round(ranked_qps, 2),
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
