@@ -92,6 +92,43 @@ def q_ft_intersect_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intersect_pair(idx.postings, "hash", "join")
 
 
+def q_ft_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the DINT-compressed block index → must equal the oracle's
+    postings exactly (verify_collection semantics, B9)."""
+    from dint_spark.build.blocks import decode_block_index
+    from dint_spark.engine import get_block_index
+
+    bidx, codec = get_block_index(spark, sf_dir, "single_packed_dint")
+    return decode_block_index(bidx, codec)
+
+
+def q_ft_block_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block skip metadata (n, block_max) — the reference's skip
+    structure (dict_posting_list.hpp:17-19,42) as plain columns."""
+    from dint_spark.engine import get_block_index
+
+    bidx, _ = get_block_index(spark, sf_dir, "single_packed_dint")
+    return bidx.select(
+        "term_id", "block_id", F.col("n").cast("long").alias("n"), "block_max"
+    )
+
+
+def q_ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bits-per-integer per codec (rows-only check: byte sizes aren't
+    SQL-derivable). Reference metric surface: README.md:110-115 bpi table."""
+    from dint_spark.build.blocks import index_stats
+    from dint_spark.engine import get_block_index
+
+    outs = []
+    for codec_name in ("block_vbyte", "single_packed_dint"):
+        bidx, _ = get_block_index(spark, sf_dir, codec_name)
+        outs.append(index_stats(bidx).withColumn("codec", F.lit(codec_name)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("codec", "n_blocks", "n_postings", "docs_bpi", "freqs_bpi")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -111,6 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ranked_or": q_ft_ranked_or,
         "ft_ranked_and": q_ft_ranked_and,
         "ft_intersect_pair": q_ft_intersect_pair,
+        "ft_decode_roundtrip": q_ft_decode_roundtrip,
+        "ft_block_meta": q_ft_block_meta,
+        "ft_index_stats": q_ft_index_stats,
     }
 
 
@@ -127,4 +167,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_ranked_or": S.RANKED_OR,
         "ft_ranked_and": S.RANKED_AND,
         "ft_intersect_pair": S.intersect_pair_sql("hash", "join"),
+        "ft_decode_roundtrip": S.POSTINGS,
+        "ft_block_meta": S.BLOCK_META,
+        # ft_index_stats intentionally has no oracle (binary payload sizes
+        # are not SQL-derivable) → driver records rows-only check.
     }

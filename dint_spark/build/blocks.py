@@ -1,0 +1,278 @@
+"""Block-structured compressed posting lists (the reference's core layout).
+
+Re-creates dict_posting_list/block_posting_list
+(/root/reference/include/dint/dict_posting_list.hpp:10-56) Spark-first:
+
+* posting lists are cut into blocks of 256 postings (util.hpp:35);
+* per block we store `block_max` (last docID — the skip structure,
+  dict_posting_list.hpp:17-19,42) and `block_max_weight` (max BM25
+  doc-side weight — the block-max WAND metadata, SURVEY.md §1.5) as PLAIN
+  COLUMNS, so Catalyst min/max pruning + predicate pushdown replace the
+  reference's in-memory skip scan;
+* payloads are docID gaps−1 (doc − prev − 1, dict_posting_list.hpp:35-38)
+  and freqs−1 (:39), encoded by a pluggable codec kernel (VByte / DINT).
+
+Scale design (10^12 docs):
+* rank-within-term uses a TWO-LEVEL scheme: bounded windows over
+  (term_id, doc_bucket) for local rank + a metadata-sized cumulative
+  window over per-bucket counts. No unbounded per-term window → no
+  single-task stopword skew (SURVEY.md §7 hard spot 4).
+* block encode runs as mapInPandas over data repartitioned by
+  (term_id, block_chunk) — many blocks per Arrow batch, vectorized
+  kernels, no per-group Python overhead; chunking bounds partition sizes
+  for heavy terms (term-frequency-aware repartitioning per north rule).
+* block_base (gap chain seed = previous block's max) is computed
+  relationally on the metadata-sized per-block table with a lag window.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+
+from dint_spark.functions.bm25 import doc_term_weight
+
+BLOCK_SIZE = 256  # reference block size, util.hpp:35
+CHUNK_BLOCKS = 4096  # blocks per shuffle key chunk for heavy terms
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("block_id", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("block_base", T.LongType(), False),
+        T.StructField("block_max", T.LongType(), False),
+        T.StructField("block_max_weight", T.DoubleType(), False),
+        T.StructField("docs_bytes", T.BinaryType(), False),
+        T.StructField("freqs_bytes", T.BinaryType(), False),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+    ]
+)
+
+
+def rank_within_term(postings: DataFrame, bucket_bits: int = 16) -> DataFrame:
+    """Append `rank` = 0-based position of the posting within its term's
+    docID-ordered list. Bounded windows only (see module docstring)."""
+    p = postings.withColumn("_bucket", F.shiftrightunsigned(F.col("doc_id"), bucket_bits))
+    local_w = W.partitionBy("term_id", "_bucket").orderBy("doc_id")
+    p = p.withColumn("_lrank", F.row_number().over(local_w) - 1)
+    counts = p.groupBy("term_id", "_bucket").agg(F.count("*").alias("_bc"))
+    off_w = (
+        W.partitionBy("term_id")
+        .orderBy("_bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_bc").over(off_w), F.lit(0))
+    ).select("term_id", "_bucket", "_off")
+    return (
+        p.join(offsets, ["term_id", "_bucket"])
+        .withColumn("rank", (F.col("_off") + F.col("_lrank")).cast("long"))
+        .drop("_bucket", "_lrank", "_off")
+    )
+
+
+def _block_meta(ranked: DataFrame) -> DataFrame:
+    """Per-block metadata (metadata-sized): n, block_max, base, max_weight."""
+    blocks = (
+        ranked.groupBy("term_id", "block_id")
+        .agg(
+            F.count("*").cast("int").alias("n"),
+            F.max("doc_id").alias("block_max"),
+            F.max(doc_term_weight(F.col("tf"), F.col("norm_len"))).alias(
+                "block_max_weight"
+            )
+            if "norm_len" in ranked.columns
+            else F.lit(0.0).alias("block_max_weight"),
+        )
+    )
+    lag_w = W.partitionBy("term_id").orderBy("block_id")
+    return blocks.withColumn(
+        "block_base", F.coalesce(F.lag("block_max").over(lag_w), F.lit(-1))
+    )
+
+
+def prepare_block_data(postings: DataFrame, block_size: int = BLOCK_SIZE):
+    """Shared front half of encode/stats passes: (data, meta).
+
+    data: (term_id, block_id, doc_id, tf, block_base), repartitioned by
+    (term_id, chunk) and sorted so each partition holds whole blocks in
+    order. meta: per-block (term_id, block_id, n, block_max,
+    block_max_weight, block_base) — metadata-sized.
+    """
+    ranked = rank_within_term(postings)
+    ranked = ranked.withColumn("block_id", (F.col("rank") / block_size).cast("long"))
+    meta = _block_meta(ranked)
+
+    data = ranked.join(
+        meta.select("term_id", "block_id", "block_base"), ["term_id", "block_id"]
+    ).select("term_id", "block_id", "doc_id", "tf", "block_base")
+
+    # Chunked repartition: heavy terms split across CHUNK_BLOCKS-block
+    # chunks (term-frequency-aware skew handling), blocks kept contiguous.
+    data = data.withColumn("_chunk", (F.col("block_id") / CHUNK_BLOCKS).cast("long"))
+    data = (
+        data.repartition(F.col("term_id"), F.col("_chunk"))
+        .sortWithinPartitions("term_id", "block_id", "doc_id")
+        .drop("_chunk")
+    )
+    return data, meta
+
+
+def iter_block_arrays(batches: Iterator[pd.DataFrame]):
+    """Yield (term_id, block_id, base, gaps u32, freqs u32) per block from
+    sorted (term_id, block_id, doc_id, tf, block_base) Arrow batches,
+    buffering across batch cuts (a block may straddle one)."""
+    pending: pd.DataFrame | None = None
+
+    def split_tail(pdf: pd.DataFrame):
+        last_t = pdf["term_id"].iloc[-1]
+        last_b = pdf["block_id"].iloc[-1]
+        tail_mask = (pdf["term_id"] == last_t) & (pdf["block_id"] == last_b)
+        return pdf[~tail_mask], pdf[tail_mask]
+
+    def blocks_of(pdf: pd.DataFrame):
+        tid = pdf["term_id"].to_numpy()
+        bid = pdf["block_id"].to_numpy()
+        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tf = pdf["tf"].to_numpy(dtype=np.int64)
+        base = pdf["block_base"].to_numpy(dtype=np.int64)
+        change = np.flatnonzero(
+            np.diff(tid, prepend=tid[0] - 1) | np.diff(bid, prepend=bid[0] - 1)
+        )
+        bounds = np.append(change, len(pdf))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            d = doc[s:e]
+            prev = np.concatenate(([base[s]], d[:-1]))
+            gaps = (d - prev - 1).astype(np.uint32)  # strictly increasing → ≥0
+            freqs = (tf[s:e] - 1).astype(np.uint32)  # stored f−1 (ref :39)
+            yield int(tid[s]), int(bid[s]), int(base[s]), gaps, freqs
+
+    for pdf in batches:
+        if pending is not None:
+            pdf = pd.concat([pending, pdf], ignore_index=True)
+            pending = None
+        if len(pdf) == 0:
+            continue
+        keep, pending = split_tail(pdf)
+        if len(keep):
+            yield from blocks_of(keep)
+    if pending is not None and len(pending):
+        yield from blocks_of(pending)
+
+
+def build_block_index(
+    postings: DataFrame,
+    codec,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """postings(term_id, doc_id, tf[, norm_len]) → compressed block table.
+
+    `codec` is a kernel object with encode_docs/encode_freqs(u32 array)
+    -> bytes and decode_docs/decode_freqs(bytes, n) -> u32 array
+    (codecs/registry.py). It is broadcast once per job, not shipped per
+    task (DINT models carry a 65k-entry pattern table).
+    """
+    data, meta = prepare_block_data(postings, block_size)
+    spark = postings.sparkSession
+    codec_bc = spark.sparkContext.broadcast(codec)
+    mw = meta.select("term_id", "block_id", "n", "block_max", "block_max_weight")
+
+    def encode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = codec_bc.value
+        rows = []
+        for tid, bid, base, gaps, freqs in iter_block_arrays(batches):
+            rows.append((tid, bid, base, c.encode_docs(gaps), c.encode_freqs(freqs)))
+            if len(rows) >= 4096:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["term_id", "block_id", "block_base", "docs_bytes", "freqs_bytes"],
+                )
+                rows = []
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["term_id", "block_id", "block_base", "docs_bytes", "freqs_bytes"],
+            )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("term_id", T.LongType(), False),
+            T.StructField("block_id", T.LongType(), False),
+            T.StructField("block_base", T.LongType(), False),
+            T.StructField("docs_bytes", T.BinaryType(), False),
+            T.StructField("freqs_bytes", T.BinaryType(), False),
+        ]
+    )
+    encoded = data.mapInPandas(encode_blocks, schema=enc_schema)
+    return encoded.join(mw, ["term_id", "block_id"]).select(
+        "term_id",
+        "block_id",
+        "n",
+        "block_base",
+        "block_max",
+        "block_max_weight",
+        "docs_bytes",
+        "freqs_bytes",
+    )
+
+
+def decode_block_index(index: DataFrame, codec) -> DataFrame:
+    """Compressed block table → postings(term_id, doc_id, tf).
+
+    The verify_collection analog (/root/reference/include/ds2i/
+    verify_collection.hpp:7-53): decoding every block must reproduce the
+    input postings exactly (tested via exceptAll in tests + the driver's
+    ft_decode_roundtrip oracle).
+    """
+
+    spark = index.sparkSession
+    codec_bc = spark.sparkContext.broadcast(codec)
+
+    def decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = codec_bc.value
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                gaps = c.decode_docs(r.docs_bytes, r.n).astype(np.int64)
+                docs = np.cumsum(gaps + 1) + r.block_base
+                tfs = c.decode_freqs(r.freqs_bytes, r.n).astype(np.int64) + 1
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term_id": np.full(r.n, r.term_id, dtype=np.int64),
+                            "doc_id": docs,
+                            "tf": tfs,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return index.select(
+        "term_id", "block_id", "n", "block_base", "docs_bytes", "freqs_bytes"
+    ).mapInPandas(decode_blocks, schema=POSTINGS_SCHEMA)
+
+
+def index_stats(index: DataFrame) -> DataFrame:
+    """bits-per-integer metrics (index_build_utils.hpp:91-118 analog)."""
+    return index.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("n").cast("long").alias("n_postings"),
+        F.round(F.sum(F.octet_length("docs_bytes")) * 8.0 / F.sum("n"), 4).alias(
+            "docs_bpi"
+        ),
+        F.round(F.sum(F.octet_length("freqs_bytes")) * 8.0 / F.sum("n"), 4).alias(
+            "freqs_bpi"
+        ),
+    )

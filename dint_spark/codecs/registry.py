@@ -1,0 +1,90 @@
+"""Codec registry — the Spark analog of the reference's compile-time
+index-type dispatch (/root/reference/include/index_types.hpp:83-87).
+
+A codec object exposes encode_docs / encode_freqs / decode_docs /
+decode_freqs over uint32 numpy arrays (one posting block per call). The
+docs stream carries docID gaps−1, the freqs stream tf−1. DINT codecs are
+asymmetric: separate dictionaries are learned for the two streams
+(dict_freq_index::builder::build_model learns two models,
+dict_freq_index.hpp:53-68).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dint_spark.codecs import vbyte
+
+
+class SymmetricCodec:
+    """Wrap a stateless encode/decode module (vbyte, u32) for both streams."""
+
+    def __init__(self, name: str, encode, decode):
+        self.name = name
+        self._encode = encode
+        self._decode = decode
+
+    def encode_docs(self, vals: np.ndarray) -> bytes:
+        return self._encode(vals)
+
+    encode_freqs = encode_docs
+
+    def decode_docs(self, buf: bytes, n: int) -> np.ndarray:
+        return self._decode(buf, n)
+
+    decode_freqs = decode_docs
+
+
+class PairCodec:
+    """Distinct per-stream codecs (DINT: docs dict + freqs dict)."""
+
+    def __init__(self, name: str, docs, freqs):
+        self.name = name
+        self.docs = docs
+        self.freqs = freqs
+
+    def encode_docs(self, vals):
+        return self.docs.encode(vals)
+
+    def encode_freqs(self, vals):
+        return self.freqs.encode(vals)
+
+    def decode_docs(self, buf, n):
+        return self.docs.decode(buf, n)
+
+    def decode_freqs(self, buf, n):
+        return self.freqs.decode(buf, n)
+
+
+def _u32_encode(vals: np.ndarray) -> bytes:
+    return np.asarray(vals, dtype=np.uint32).tobytes()
+
+
+def _u32_decode(buf: bytes, n: int) -> np.ndarray:
+    out = np.frombuffer(buf, dtype=np.uint32)
+    if n is not None and out.size != n:
+        raise ValueError(f"u32: expected {n}, got {out.size}")
+    return out
+
+
+VBYTE = SymmetricCodec("block_vbyte", vbyte.encode, vbyte.decode)
+U32 = SymmetricCodec("block_u32", _u32_encode, _u32_decode)  # raw copy (F7)
+
+
+def get_codec(name: str, dint_model=None):
+    """Resolve a codec by index-type name (index_types.hpp naming)."""
+    if name in ("block_vbyte", "vbyte"):
+        return VBYTE
+    if name in ("block_u32", "u32"):
+        return U32
+    if name in ("single_packed_dint", "dint"):
+        if dint_model is None:
+            raise ValueError("DINT codec needs a learned model")
+        from dint_spark.codecs.dint import DintCodec
+
+        return PairCodec(
+            "single_packed_dint",
+            DintCodec(dint_model.docs),
+            DintCodec(dint_model.freqs),
+        )
+    raise KeyError(f"unknown codec {name!r}")

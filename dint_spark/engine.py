@@ -13,6 +13,7 @@ from dint_spark.queryset import queries_df
 from dint_spark.tokenizer import tokenize_words
 
 _INDEX_CACHE: dict[tuple[int, str], FullTextIndex] = {}
+_BLOCK_CACHE: dict[tuple[int, str, str], tuple] = {}
 
 
 def get_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
@@ -24,6 +25,32 @@ def get_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
         idx = build_fulltext_index(tokens, with_norm_len=True, cache=True)
         _INDEX_CACHE[key] = idx
     return idx
+
+
+def get_block_index(spark: SparkSession, sf_dir: str, codec_name: str = "single_packed_dint"):
+    """(block_index_df, codec) — compressed block table, memoized & cached.
+
+    For DINT the dictionary model is learned on this corpus (two-pass
+    build, build/dint_build.py) before encoding.
+    """
+    key = (id(spark), sf_dir, codec_name)
+    hit = _BLOCK_CACHE.get(key)
+    if hit is None:
+        from dint_spark.build.blocks import build_block_index
+        from dint_spark.codecs.registry import get_codec
+
+        idx = get_index(spark, sf_dir)
+        model = None
+        if codec_name in ("single_packed_dint", "dint"):
+            from dint_spark.build.dint_build import learn_dint_model
+
+            model = learn_dint_model(idx.postings.select("term_id", "doc_id", "tf"))
+        codec = get_codec(codec_name, model)
+        block_idx = build_block_index(idx.postings, codec).cache()
+        block_idx.count()
+        hit = (block_idx, codec)
+        _BLOCK_CACHE[key] = hit
+    return hit
 
 
 def get_queries(spark: SparkSession) -> DataFrame:

@@ -142,6 +142,17 @@ scored_and AS (
 )
 """ + _TOPK.format(src="scored_and", k=10)
 
+BLOCK_META = PREAMBLE + """,
+ranked AS (
+  SELECT v.term_id, p.doc_id,
+         (row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id) - 1) AS rnk
+  FROM post p JOIN vocab v USING (term)
+)
+SELECT term_id, (rnk // 256)::BIGINT AS block_id, count(*)::BIGINT AS n,
+       max(doc_id) AS block_max
+FROM ranked GROUP BY term_id, rnk // 256
+"""
+
 INTERSECT_PAIR = PREAMBLE + """
 SELECT a.doc_id FROM
   (SELECT doc_id FROM post WHERE term = '{ta}') a

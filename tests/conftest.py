@@ -31,6 +31,22 @@ def tiny_docs(spark):
 
 
 @pytest.fixture(scope="session")
+def random_postings(spark):
+    """~25 lists, universe 20k, avg gap 1.1..11, freqs 1..256 (FIXTURES §5)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for term_id in range(25):
+        avg_gap = 1.1 + rng.random() * 10
+        n = int(20000 / avg_gap * rng.uniform(0.3, 1.0))
+        docs = np.sort(rng.choice(20000, size=min(n, 19999), replace=False))
+        tfs = rng.integers(1, 257, size=docs.size)
+        rows += [(term_id, int(d), int(t)) for d, t in zip(docs, tfs)]
+    return spark.createDataFrame(rows, schema="term_id long, doc_id long, tf long")
+
+
+@pytest.fixture(scope="session")
 def tiny_index(tiny_docs):
     from dint_spark.build.postings import build_fulltext_index
     from dint_spark.tokenizer import tokenize_words

@@ -1,0 +1,62 @@
+"""Block index round-trip + skip-metadata invariants
+(verify_collection analog, /root/reference/include/ds2i/verify_collection.hpp:7-53;
+posting-list fixtures per FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dint_spark.build.blocks import (
+    build_block_index,
+    decode_block_index,
+    index_stats,
+    rank_within_term,
+)
+from dint_spark.codecs.registry import VBYTE as vbyte_codec
+
+
+def test_rank_within_term(random_postings):
+    ranked = rank_within_term(random_postings, bucket_bits=10).collect()
+    by_term = {}
+    for r in ranked:
+        by_term.setdefault(r["term_id"], []).append((r["doc_id"], r["rank"]))
+    for t, lst in by_term.items():
+        lst.sort()
+        assert [rk for _, rk in lst] == list(range(len(lst))), t
+
+
+def test_block_roundtrip_vbyte(random_postings):
+    idx = build_block_index(random_postings, vbyte_codec)
+    decoded = decode_block_index(idx, vbyte_codec)
+    diff1 = decoded.exceptAll(random_postings).count()
+    diff2 = random_postings.exceptAll(decoded).count()
+    assert diff1 == 0 and diff2 == 0
+
+
+def test_block_metadata(random_postings):
+    idx = build_block_index(random_postings, vbyte_codec).collect()
+    truth = {}
+    for r in random_postings.collect():
+        truth.setdefault(r["term_id"], []).append(r["doc_id"])
+    for t in truth:
+        truth[t].sort()
+    by_tb = {(r["block_id"], r["term_id"]): r for r in idx}
+    for (b, t), r in by_tb.items():
+        lst = truth[t]
+        chunk = lst[b * 256 : (b + 1) * 256]
+        assert r["n"] == len(chunk)
+        assert r["block_max"] == chunk[-1]
+        assert r["block_base"] == (lst[b * 256 - 1] if b > 0 else -1)
+    # every posting covered exactly once
+    assert sum(r["n"] for r in idx) == sum(len(v) for v in truth.values())
+
+
+def test_index_stats(random_postings):
+    idx = build_block_index(random_postings, vbyte_codec)
+    s = index_stats(idx).first()
+    assert s["n_postings"] == random_postings.count()
+    # dense gap-1 values are tiny → vbyte ≈ 8 bits/int for docs
+    assert 7.9 <= s["docs_bpi"] <= 9.0
+    assert 7.9 <= s["freqs_bpi"] <= 16.5

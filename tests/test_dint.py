@@ -1,0 +1,115 @@
+"""DINT codec kernels + distributed dictionary learning
+(micro-fixtures per FIXTURES.md §4; learning per SURVEY.md B3/B4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dint_spark.codecs.dint import (
+    EXC16,
+    EXC32,
+    RESERVED,
+    DintCodec,
+    DintDict,
+    extract_patterns,
+)
+
+
+def _codec(patterns):
+    return DintCodec(DintDict.from_patterns([np.array(p, dtype=np.uint32) for p in patterns]))
+
+
+def test_dint_exceptions_only():
+    c = _codec([])
+    vals = np.array([1, 70000, 65535, 65536, 2**32 - 1], dtype=np.uint32)
+    enc = c.encode(vals)
+    assert np.array_equal(c.decode(enc, len(vals)), vals)
+    cws = np.frombuffer(enc, dtype=np.uint16)
+    assert cws[0] == EXC16 and cws[2] == EXC32
+
+
+def test_dint_zero_runs():
+    c = _codec([])
+    for n in (16, 32, 64, 128, 256, 48, 300):
+        vals = np.zeros(n, dtype=np.uint32)
+        enc = c.encode(vals)
+        assert np.array_equal(c.decode(enc, n), vals), n
+    # 256 zeros = exactly one codeword (2 bytes)
+    assert len(c.encode(np.zeros(256, dtype=np.uint32))) == 2
+
+
+def test_dint_pattern_match():
+    pat = [3, 1, 4, 1]
+    c = _codec([pat, [7], [2, 2]])
+    vals = np.array(pat + [7] + [2, 2] + pat, dtype=np.uint32)
+    enc = c.encode(vals)
+    cws = np.frombuffer(enc, dtype=np.uint16)
+    assert list(cws) == [RESERVED, RESERVED + 1, RESERVED + 2, RESERVED]
+    assert np.array_equal(c.decode(enc, len(vals)), vals)
+
+
+def test_dint_mixed_roundtrip():
+    rng = np.random.default_rng(12345)
+    pats = [list(rng.integers(0, 100, size=s)) for s in (16, 8, 8, 4, 2) for _ in range(3)]
+    pats += [[v] for v in range(50)]
+    c = _codec(pats)
+    for trial in range(20):
+        n = int(rng.integers(1, 257))
+        vals = rng.integers(0, 1 << int(rng.integers(1, 25)), size=n).astype(np.uint32)
+        # sprinkle zeros and known patterns
+        if n > 30 + len(pats[0]):
+            vals[5:25] = 0
+            vals[30 : 30 + len(pats[0])] = np.array(pats[0], dtype=np.uint32)
+        enc = c.encode(vals)
+        assert np.array_equal(c.decode(enc, n), vals), trial
+
+
+def test_extract_patterns_adjusted():
+    counter = {}
+    v = np.array([1, 2, 3, 4], dtype=np.uint32)
+    extract_patterns(v, counter)
+    # sizes 4, 2, 2, 1×4 → patterns: [1,2,3,4], [1,2], [3,4], [1],[2],[3],[4]
+    assert counter[np.array([1, 2, 3, 4], dtype=np.uint32).tobytes()] == 1
+    assert counter[np.array([1, 2], dtype=np.uint32).tobytes()] == 1
+    assert counter[np.array([1], dtype=np.uint32).tobytes()] == 1
+    # all-zero 16-chunks excluded
+    counter2 = {}
+    extract_patterns(np.zeros(16, dtype=np.uint32), counter2)
+    assert np.zeros(16, dtype=np.uint32).tobytes() not in counter2
+    assert counter2[np.zeros(8, dtype=np.uint32).tobytes()] == 2
+
+
+@pytest.mark.usefixtures("spark")
+def test_learned_model_roundtrip(spark, random_postings):
+    from dint_spark.build.blocks import build_block_index, decode_block_index, index_stats
+    from dint_spark.build.dint_build import DintModel, learn_dint_model
+    from dint_spark.codecs.registry import get_codec
+
+    model = learn_dint_model(random_postings, capacity=4096)
+    assert len(model.docs) > 0 and len(model.freqs) > 0
+
+    codec = get_codec("single_packed_dint", model)
+    idx = build_block_index(random_postings, codec).cache()
+    decoded = decode_block_index(idx, codec)
+    assert decoded.exceptAll(random_postings).count() == 0
+    assert random_postings.exceptAll(decoded).count() == 0
+
+    # DINT beats VByte on these gap-dense lists
+    from dint_spark.codecs.registry import VBYTE
+
+    s_dint = index_stats(idx).first()
+    s_vb = index_stats(build_block_index(random_postings, VBYTE)).first()
+    assert s_dint["docs_bpi"] < s_vb["docs_bpi"]
+
+    # save/load parity
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        model.save(spark, f"{td}/model")
+        m2 = DintModel.load(spark, f"{td}/model")
+        c2 = get_codec("single_packed_dint", m2)
+        vals = np.array([0] * 32 + [5, 1, 2, 9], dtype=np.uint32)
+        assert np.array_equal(
+            c2.docs.decode(codec.docs.encode(vals), len(vals)), vals
+        )
