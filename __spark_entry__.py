@@ -92,6 +92,26 @@ def q_ft_intersect_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intersect_pair(idx.postings, "hash", "join")
 
 
+def q_ft_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND over the compressed index — rank-identical to
+    ranked_or (oracle is the SAME SQL: pruning must be lossless)."""
+    from dint_spark.engine import get_block_index
+    from dint_spark.operators.wand import wand_topk
+
+    idx = _idx(spark, sf_dir)
+    bidx, codec = get_block_index(spark, sf_dir, "single_packed_dint")
+    return wand_topk(idx, bidx, codec, _queries(spark), idx.num_docs, k=10)
+
+
+def q_ft_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.engine import get_block_index
+    from dint_spark.operators.wand import maxscore_topk
+
+    idx = _idx(spark, sf_dir)
+    bidx, codec = get_block_index(spark, sf_dir, "single_packed_dint")
+    return maxscore_topk(idx, bidx, codec, _queries(spark), idx.num_docs, k=10)
+
+
 def q_ft_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode the DINT-compressed block index → must equal the oracle's
     postings exactly (verify_collection semantics, B9)."""
@@ -148,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ranked_or": q_ft_ranked_or,
         "ft_ranked_and": q_ft_ranked_and,
         "ft_intersect_pair": q_ft_intersect_pair,
+        "ft_wand": q_ft_wand,
+        "ft_maxscore": q_ft_maxscore,
         "ft_decode_roundtrip": q_ft_decode_roundtrip,
         "ft_block_meta": q_ft_block_meta,
         "ft_index_stats": q_ft_index_stats,
@@ -167,6 +189,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_ranked_or": S.RANKED_OR,
         "ft_ranked_and": S.RANKED_AND,
         "ft_intersect_pair": S.intersect_pair_sql("hash", "join"),
+        "ft_wand": S.RANKED_OR,  # pruning must be lossless
+        "ft_maxscore": S.RANKED_OR,
         "ft_decode_roundtrip": S.POSTINGS,
         "ft_block_meta": S.BLOCK_META,
         # ft_index_stats intentionally has no oracle (binary payload sizes

@@ -42,6 +42,8 @@ def main() -> None:
         "ft_or",
         "ft_ranked_or",
         "ft_ranked_and",
+        "ft_wand",
+        "ft_maxscore",
         "ft_term_meta",
     ]
     qs = E.queries()

@@ -35,6 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from dint_spark.build.docids import dense_ids
+from dint_spark.util import materialize
 from dint_spark.functions.bm25 import doc_term_weight
 
 
@@ -108,15 +109,14 @@ def build_fulltext_index(
     """tokens(doc_id, term) → full relational index."""
     docs = build_docs(tokens)
     if cache:
-        docs = docs.cache()
+        docs = materialize(docs)
     num_docs = docs.count()
     avgdl = docs.agg(F.avg("doc_len")).first()[0]
 
     raw = build_postings_raw(tokens)
     vocab = build_vocab(raw, scalable=scalable_vocab)
     if cache:
-        vocab = vocab.cache()
-        vocab.count()
+        vocab = materialize(vocab)
 
     postings = raw.join(F.broadcast(vocab.select("term", "term_id")), "term")
     if with_norm_len:
@@ -127,12 +127,11 @@ def build_fulltext_index(
         "term", "term_id", "doc_id", "tf", *(["norm_len"] if with_norm_len else [])
     )
     if cache:
-        postings = postings.cache()
-        postings.count()
+        postings = materialize(postings)
 
     term_meta = build_term_meta(postings, docs, num_docs)
     if cache:
-        term_meta = term_meta.cache()
+        term_meta = materialize(term_meta)
 
     return FullTextIndex(
         postings=postings,

@@ -46,8 +46,9 @@ def get_block_index(spark: SparkSession, sf_dir: str, codec_name: str = "single_
 
             model = learn_dint_model(idx.postings.select("term_id", "doc_id", "tf"))
         codec = get_codec(codec_name, model)
-        block_idx = build_block_index(idx.postings, codec).cache()
-        block_idx.count()
+        from dint_spark.util import materialize
+
+        block_idx = materialize(build_block_index(idx.postings, codec))
         hit = (block_idx, codec)
         _BLOCK_CACHE[key] = hit
     return hit

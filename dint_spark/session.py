@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Caching a pandas-UDF plan registers PROCESS_LOCAL python-worker
+        # preferred locations on its partitions; every later task then waits
+        # spark.locality.wait (3s) per locality level — measured +7s on EVERY
+        # job after caching a block index. In single-host local mode locality
+        # is meaningless → disable. (On a real cluster use a small value,
+        # e.g. 100ms; never the 3s default with cached UDF outputs.)
+        .config("spark.locality.wait", "0ms")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,25 @@
+"""Small shared utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize a DataFrame AND truncate its logical plan.
+
+    `.cache()` keeps the full lineage: every later operation over the
+    cached frame re-runs Catalyst analysis of the whole tree, and with a
+    build pipeline's lineage (tokenize → groupBys → windows → joins →
+    pandas UDFs) analysis alone grows to seconds per operator — measured
+    ~100s of pure py4j/analysis overhead in a WAND plan over cached
+    inputs. `localCheckpoint(eager=True)` stores the partitions and
+    replaces the plan with a leaf scan.
+
+    Local-mode note: localCheckpoint blocks live on the single executor
+    (= driver). On a real cluster prefer a reliable checkpoint dir
+    (sc.setCheckpointDir + .checkpoint()) or write/re-read a table —
+    the engine's persistent path does exactly that (index/builder.py
+    writes parquet between stages).
+    """
+    return df.localCheckpoint(eager=True)
