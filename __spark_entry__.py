@@ -149,6 +149,99 @@ def q_ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("codec", "n_blocks", "n_postings", "docs_bpi", "freqs_bpi")
 
 
+# ------------------------------------------------ training-data pipeline
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.io import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.io import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir))
+
+
+def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), radius=3)
+
+
+def q_dd_embed_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_embeds(spark, sf_dir), threshold=0.4)
+
+
+def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_embeds(spark, sf_dir), k=10)
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_embeds(spark, sf_dir), k=10)
+
+
+def q_ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.functions.textfns import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_ta_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.functions.textfns import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_ta_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.functions.textfns import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.functions.textfns import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.operators.multimodal import extract_media_meta, synth_media
+
+    return extract_media_meta(synth_media(_docs(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -173,11 +266,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_decode_roundtrip": q_ft_decode_roundtrip,
         "ft_block_meta": q_ft_block_meta,
         "ft_index_stats": q_ft_index_stats,
+        "dd_exact": q_dd_exact,
+        "dd_ngram_jaccard": q_dd_ngram_jaccard,
+        "dd_minhash_lsh": q_dd_minhash_lsh,
+        "dd_simhash": q_dd_simhash,
+        "dd_simhash_pairs": q_dd_simhash_pairs,
+        "dd_embed_dups": q_dd_embed_dups,
+        "sim_bruteforce": q_sim_bruteforce,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "ta_token_stats": q_ta_token_stats,
+        "ta_quality": q_ta_quality,
+        "ta_langid": q_ta_langid,
+        "ta_fingerprint": q_ta_fingerprint,
+        "mm_media_meta": q_mm_media_meta,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from dint_spark.oracle import sqlgen as S
+    from dint_spark.oracle import sqlgen_pipeline as P
 
     return {
         "ft_vocab": S.VOCAB,
@@ -195,4 +302,17 @@ def oracle_sql() -> dict[str, str]:
         "ft_block_meta": S.BLOCK_META,
         # ft_index_stats intentionally has no oracle (binary payload sizes
         # are not SQL-derivable) → driver records rows-only check.
+        "dd_exact": P.DD_EXACT,
+        "dd_ngram_jaccard": P.DD_NGRAM_JACCARD,
+        "dd_minhash_lsh": P.DD_MINHASH_LSH,
+        "dd_simhash": P.DD_SIMHASH,
+        "dd_simhash_pairs": P.DD_SIMHASH_PAIRS,
+        "dd_embed_dups": P.DD_EMBED_DUPS,
+        "sim_bruteforce": P.SIM_BRUTEFORCE,
+        "sim_ann_lsh": P.SIM_ANN_LSH,
+        "ta_token_stats": P.TA_TOKEN_STATS,
+        "ta_quality": P.TA_QUALITY,
+        "ta_langid": P.TA_LANGID,
+        "ta_fingerprint": P.TA_FINGERPRINT,
+        "mm_media_meta": P.MM_MEDIA_META,
     }

@@ -1,0 +1,139 @@
+"""Training-data pipeline operators: dedup / similarity / text analysis.
+
+Ground-truth checks on a handcrafted corpus with planted duplicates, and
+an LSH-recall measurement against the exact operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"  # 1 token off
+    rows = [
+        (0, base),
+        (1, base),            # exact dup of 0
+        (2, near),            # near dup of 0/1
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "mu nu xi omicron pi rho sigma tau upsilon phi"),
+        (5, base),            # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_exact_dedup(dup_docs):
+    from dint_spark.operators.dedup import exact_dedup
+
+    out = {r["doc_id"]: r for r in exact_dedup(dup_docs).collect()}
+    assert out[0]["group_size"] == 3
+    assert out[1]["canonical_doc_id"] == 0
+    assert out[5]["canonical_doc_id"] == 0
+    assert out[3]["group_size"] == 1
+
+
+def test_ngram_jaccard(dup_docs):
+    from dint_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 5)] == 1.0
+    # near dup: 8 shingles, 7 shared → 7/9
+    assert abs(pairs[(0, 2)] - round(7 / 9, 6)) < 1e-9
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_recall(dup_docs):
+    from dint_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(dup_docs, threshold=0.5).collect()
+    }
+    # exact dups always collide in every band; near dup should too here
+    assert lsh <= exact
+    recall = len(lsh & exact) / max(len(exact), 1)
+    assert recall >= 0.99, (exact, lsh)
+
+
+def test_simhash(dup_docs):
+    from dint_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(dup_docs).collect()}
+    assert sig[0] == sig[1] == sig[5]  # identical docs → identical signature
+    assert 0 <= sig[0] < 2**16
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(dup_docs, radius=16).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    # near-dup closer than unrelated doc
+    if (0, 2) in pairs and (0, 3) in pairs:
+        assert pairs[(0, 2)] <= pairs[(0, 3)]
+
+
+def test_cosine_topk_and_ann(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 64))
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=64)  # planted neighbor
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(60)]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>, label int")
+
+    from dint_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    exact = cosine_topk(emb, query_ids=[0], k=5).collect()
+    assert exact[0]["vec_id"] == 1 and exact[0]["rank"] == 1  # planted nn found
+    # brute-force matches numpy
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = v @ v[0]
+    sims[0] = -2
+    top_np = np.argsort(-np.round(sims, 6), kind="stable")[:5]
+    assert [r["vec_id"] for r in sorted(exact, key=lambda r: r["rank"])] == [
+        int(i) for i in top_np
+    ]
+
+    ann = ann_lsh_topk(emb, query_ids=[0], k=5).collect()
+    # planted near-identical neighbor lands in the same LSH bucket
+    assert any(r["vec_id"] == 1 for r in ann)
+
+
+def test_text_functions(dup_docs):
+    from dint_spark.functions.textfns import fingerprint, quality_score, token_stats
+
+    ts = {r["doc_id"]: r for r in token_stats(dup_docs).collect()}
+    assert ts[0]["n_tokens"] == 10 and ts[0]["n_distinct"] == 10
+    q = {r["doc_id"]: r for r in quality_score(dup_docs).collect()}
+    assert q[0]["too_short"] == 1 and q[0]["ttr"] == 1.0
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(dup_docs).collect()}
+    assert fp[0] == fp[1] == fp[5]
+    assert fp[0] != fp[2]
+
+
+def test_multimodal_plumbing(dup_docs):
+    from dint_spark.operators.multimodal import (
+        decode_image,
+        extract_media_meta,
+        frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(dup_docs)
+    meta = {r["doc_id"]: r for r in extract_media_meta(media).collect()}
+    assert meta[0]["n_bytes"] == len("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    assert meta[0]["digest"] == meta[1]["digest"]
+    frames = frame_sample(media, every_n=10).collect()
+    assert len(frames) == 6  # each doc < 1 chunk → 1 frame row each
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
