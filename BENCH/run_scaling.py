@@ -1,0 +1,193 @@
+"""Two-parallelism scaling evidence (north rule: throughput at N and 4N
+executors + scaling efficiency ≥ 0.8).
+
+No real cluster exists in this sandbox; per the driver instruction the
+same jobs run at two local[N] levels on identical input, in separate
+JVMs, strictly serially (concurrent JVMs corrupt the numbers — measured).
+
+Level choice — local[2] → local[8] (N=2, 4N=8): this VM advertises 32
+vCPUs but pure-CPU multiprocess scaling measures only ~2× from 8 to 32
+processes (host-level oversubscription; high guest sys%), while 2→8 is
+hardware-linear (~0.89 efficiency on a pure-python busy loop — recorded
+below as the machine ceiling). Efficiency beyond the VM's own CPU
+ceiling cannot be demonstrated by any workload.
+
+Workloads:
+  query  : ranked BM25 top-10 batch over the shared DINT index
+           (jobs/query_batch.py), throughput = queries/sec; 1 warmup +
+           timed runs (op_perftest protocol, queries.cpp:13-37).
+  decode : full-index DINT decode (the reference's ints/sec surface,
+           vroom_env/decode.cpp:74-81), throughput = postings/sec.
+
+Writes BENCH/scaling.json and BENCH/BASELINE.md.
+
+Usage: python BENCH/run_scaling.py [--docs 50000] [--queries 2000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEVELS = (2, 8)
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i % 7
+    return s
+
+
+def cpu_ceiling() -> dict:
+    """Pure-CPU multiprocess scaling — the machine's own ceiling."""
+    out = {}
+    for np_ in LEVELS:
+        best = 0.0
+        for _ in range(3):
+            with mp.Pool(np_) as p:
+                t0 = time.perf_counter()
+                p.map(_burn, [20_000_000] * np_)
+                dt = time.perf_counter() - t0
+            best = max(best, np_ * 20_000_000 / dt / 1e6)
+        out[str(np_)] = round(best, 1)
+    out["efficiency"] = round(out[str(LEVELS[1])] / out[str(LEVELS[0])] / 4.0, 3)
+    return out
+
+
+def run_job(script: str, cpus: int, args: list[str], timeout: int = 3000) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        env=env, capture_output=True, text=True, cwd=REPO, timeout=timeout,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"{script} cpus={cpus} failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+DECODE_SNIPPET = """
+import sys, os, time, json
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = {cpus!r}
+from dint_spark.session import get_spark
+from dint_spark.util import materialize
+spark = get_spark("scaling_decode")
+from dint_spark.build.dint_build import DintModel
+from dint_spark.codecs.registry import get_codec
+from dint_spark.build.blocks import decode_block_index
+model = DintModel.load(spark, os.path.join({idx!r}, "dint_model"))
+codec = get_codec("single_packed_dint", model)
+bidx = materialize(spark.read.parquet(os.path.join({idx!r}, "index")))
+n = int(bidx.selectExpr("sum(n)").first()[0])
+def run(): decode_block_index(bidx, codec).selectExpr("count(tf)").collect()
+run()
+ts = []
+for _ in range(3):
+    t0 = time.time(); run(); ts.append(time.time() - t0)
+best = min(ts)
+print(json.dumps({{"n_postings": n, "wall_sec": round(best, 2),
+                   "postings_per_sec": round(n / best, 1)}}))
+"""
+
+
+def run_decode(cpus: int, idx: str) -> dict:
+    code = DECODE_SNIPPET.format(repo=REPO, cpus=str(cpus), idx=idx)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=3000)
+    if out.returncode != 0:
+        raise RuntimeError(f"decode cpus={cpus} failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50000)
+    ap.add_argument("--queries", type=int, default=2000)
+    ap.add_argument("--workdir", default="/tmp/dint_scaling")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    results: dict = {
+        "levels": [f"local[{n}]" for n in LEVELS],
+        "docs": args.docs,
+        "queries": args.queries,
+        "cpu_ceiling_Mops": cpu_ceiling(),
+    }
+
+    shared_idx = os.path.join(args.workdir, "shared_index")
+    if not os.path.exists(os.path.join(shared_idx, "_lineage", "verify.json")):
+        b = run_job("jobs/build_index.py", 8,
+                    ["--corpus", f"synth:{args.docs}", "--out", shared_idx])
+        results["build_local8"] = {
+            "total_wall_sec": b["total_wall_sec"],
+            "n_postings": b["index"]["n_postings"],
+            "docs_bpi": b["index"]["docs_bpi"],
+            "freqs_bpi": b["index"]["freqs_bpi"],
+        }
+    else:
+        with open(os.path.join(shared_idx, "_lineage", "index.json")) as f:
+            li = json.load(f)
+        results["build_local8"] = {k: li[k] for k in ("n_postings", "docs_bpi", "freqs_bpi")}
+
+    for cpus in LEVELS:
+        lvl = {}
+        lvl["query"] = run_job(
+            "jobs/query_batch.py", cpus,
+            ["--index", shared_idx, "--op", "ranked_or",
+             "--queries", str(args.queries), "--repeats", "1"],
+        )
+        lvl["decode"] = run_decode(cpus, shared_idx)
+        results[f"local{cpus}"] = lvl
+
+    lo, hi = f"local{LEVELS[0]}", f"local{LEVELS[1]}"
+    for work, key in (("query", "qps"), ("decode", "postings_per_sec")):
+        s = results[hi][work][key] / results[lo][work][key]
+        results[f"{work}_speedup"] = round(s, 3)
+        results[f"{work}_efficiency"] = round(s / 4.0, 3)
+
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(results, f, indent=2, sort_keys=True)
+
+    bi = results["build_local8"]
+    cc = results["cpu_ceiling_Mops"]
+    md = f"""# BENCH/BASELINE — dint_spark throughput at two parallelism levels
+
+North rule: throughput scaling efficiency ≥ 0.8 from N to 4N executors.
+No real cluster exists in this sandbox; the same jobs ran at
+**local[2] and local[8]** (N=2 → 4N=8; separate JVMs, strictly serial,
+identical input: {args.docs:,}-doc synthetic source-code corpus,
+{bi['n_postings']:,} postings, DINT single_packed index).
+
+**Why 2→8 and not 8→32:** the VM advertises 32 vCPUs but its own
+pure-CPU multiprocess ceiling measures {cc[str(LEVELS[0])]} →
+{cc[str(LEVELS[1])]} M ops/s for 2→8 procs (eff {cc['efficiency']}) and
+only ~2× from 8→32 (host oversubscription, high guest sys%). No Spark
+workload can out-scale the machine's own CPU scaling; 2→8 is the
+hardware-linear regime.
+
+| workload | local[2] | local[8] | speedup (4× cores) | efficiency |
+|---|---|---|---|---|
+| BM25 ranked top-10 batch, {args.queries:,} queries (q/s) | {results[lo]['query']['qps']} | {results[hi]['query']['qps']} | {results['query_speedup']}× | {results['query_efficiency']} |
+| DINT full-index decode (postings/s) | {results[lo]['decode']['postings_per_sec']:,} | {results[hi]['decode']['postings_per_sec']:,} | {results['decode_speedup']}× | {results['decode_efficiency']} |
+
+Compression (learned dictionaries, this corpus): docs {bi['docs_bpi']}
+bits/int, freqs {bi['freqs_bpi']} bits/int — reference README.md:110-115
+reports 4.766-5.939 docs / 2.455-3.047 freqs on its own 3.3M-posting
+fixture (different gap distribution, same ballpark).
+
+Raw numbers: BENCH/scaling.json. Reproduce:
+`python BENCH/run_scaling.py --docs {args.docs} --queries {args.queries}`.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,13 +140,28 @@ def q_ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dint_spark.engine import get_block_index
 
     outs = []
-    for codec_name in ("block_vbyte", "single_packed_dint"):
+    for codec_name in (
+        "block_vbyte",
+        "ef",
+        "block_interpolative",
+        "single_packed_dint",
+    ):
         bidx, _ = get_block_index(spark, sf_dir, codec_name)
         outs.append(index_stats(bidx).withColumn("codec", F.lit(codec_name)))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.select("codec", "n_blocks", "n_postings", "docs_bpi", "freqs_bpi")
+
+
+def q_ft_dint_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codeword-class usage histogram (dint_statistics analog, A10;
+    rows-only: depends on the encoded byte streams)."""
+    from dint_spark.codecs.stats import codeword_histogram
+    from dint_spark.engine import get_block_index
+
+    bidx, codec = get_block_index(spark, sf_dir, "single_packed_dint")
+    return codeword_histogram(bidx, codec.docs.dict, codec.freqs.dict)
 
 
 # ------------------------------------------------ training-data pipeline
@@ -266,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_decode_roundtrip": q_ft_decode_roundtrip,
         "ft_block_meta": q_ft_block_meta,
         "ft_index_stats": q_ft_index_stats,
+        "ft_dint_histogram": q_ft_dint_histogram,
         "dd_exact": q_dd_exact,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_minhash_lsh": q_dd_minhash_lsh,

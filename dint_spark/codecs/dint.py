@@ -42,6 +42,10 @@ RUN_SIZES = {2: 256, 3: 128, 4: 64, 5: 32, 6: 16}
 _RUN_ORDER = (256, 128, 64, 32, 16)
 
 
+def cost_of(cost: list, i: int) -> int:
+    return cost[i]
+
+
 @dataclass
 class DintDict:
     """One stream's dictionary: patterns → codewords ≥ RESERVED."""
@@ -70,12 +74,27 @@ class DintDict:
 
 
 class DintCodec:
-    """encode/decode kernel over one stream, given a learned DintDict."""
+    """encode/decode kernel over one stream, given a learned DintDict.
 
-    def __init__(self, dictionary: DintDict):
+    mode="greedy" — longest-run-then-longest-pattern-first
+    (dint_codecs.hpp:52-139); mode="optimal" — shortest-path DP over
+    codeword costs (the reference's optimal parse, dint_codecs.hpp:141-283):
+    node i = position, edges = dictionary patterns (1 word), zero-runs
+    (1 word), exceptions (2-3 words); backward reconstruction.
+    """
+
+    def __init__(self, dictionary: DintDict, mode: str = "greedy"):
         self.dict = dictionary
+        if mode not in ("greedy", "optimal"):
+            raise ValueError(mode)
+        self.mode = mode
 
     def encode(self, vals: np.ndarray) -> bytes:
+        if self.mode == "optimal":
+            return self.encode_optimal(vals)
+        return self.encode_greedy(vals)
+
+    def encode_greedy(self, vals: np.ndarray) -> bytes:
         v = np.asarray(vals, dtype=np.uint32)
         n = v.size
         lookup = self.dict.lookup
@@ -118,6 +137,65 @@ class DintCodec:
                     out.append(x & 0xFFFF)
                     out.append(x >> 16)
             i += 1
+        return np.asarray(out, dtype=np.uint16).tobytes()
+
+    def encode_optimal(self, vals: np.ndarray) -> bytes:
+        """Shortest-path parse (dint_codecs.hpp:141-283 semantics).
+
+        cost[i] = min words to encode v[0:i]; relax pattern / run /
+        exception edges left-to-right, reconstruct backward. O(n · edges)
+        with n ≤ block size.
+        """
+        v = np.asarray(vals, dtype=np.uint32)
+        n = v.size
+        lookup = self.dict.lookup
+        INF = 1 << 30
+        cost = [INF] * (n + 1)
+        cost[n] = 0  # backward DP: cost[i] = min words for v[i:]
+        # choice[i] = (next_i, codewords emitted at i)
+        choice: list[tuple[int, list[int]] | None] = [None] * (n + 1)
+        zrun = np.zeros(n + 1, dtype=np.int64)
+        for i in range(n - 1, -1, -1):
+            zrun[i] = zrun[i + 1] + 1 if v[i] == 0 else 0
+        # iterate backward so choice[i] describes the parse FROM i
+        for i in range(n - 1, -1, -1):
+            best = INF
+            bestc: tuple[int, list[int]] | None = None
+            # exception / singleton
+            cw = lookup.get(v[i : i + 1].tobytes())
+            if cw is not None:
+                c = 1 + cost_of(cost, i + 1)
+                if c < best:
+                    best, bestc = c, (i + 1, [cw])
+            else:
+                x = int(v[i])
+                words = [EXC16, x] if x < 65536 else [EXC32, x & 0xFFFF, x >> 16]
+                c = len(words) + cost_of(cost, i + 1)
+                if c < best:
+                    best, bestc = c, (i + 1, words)
+            # patterns
+            for s in (2, 4, 8, 16):
+                if i + s <= n:
+                    cw = lookup.get(v[i : i + s].tobytes())
+                    if cw is not None:
+                        c = 1 + cost_of(cost, i + s)
+                        if c < best:
+                            best, bestc = c, (i + s, [cw])
+            # zero runs
+            z = int(zrun[i])
+            for size in _RUN_ORDER:
+                if z >= size:
+                    c = 1 + cost_of(cost, i + size)
+                    if c < best:
+                        best, bestc = c, (i + size, [RUN_CODES[size]])
+            cost[i] = best
+            choice[i] = bestc
+        out: list[int] = []
+        i = 0
+        while i < n:
+            nxt, words = choice[i]  # type: ignore[misc]
+            out.extend(words)
+            i = nxt
         return np.asarray(out, dtype=np.uint16).tobytes()
 
     def decode(self, buf: bytes, n: int) -> np.ndarray:

@@ -71,20 +71,50 @@ VBYTE = SymmetricCodec("block_vbyte", vbyte.encode, vbyte.decode)
 U32 = SymmetricCodec("block_u32", _u32_encode, _u32_decode)  # raw copy (F7)
 
 
+def _ef_encode(vals: np.ndarray) -> bytes:
+    # gaps → strictly-increasing prefix sums → Elias-Fano (the reference
+    # stores docIDs as EF of the monotone sequence, compact_elias_fano.hpp)
+    from dint_spark.codecs import elias_fano
+
+    v = np.asarray(vals, dtype=np.uint64)
+    mono = np.cumsum(v + 1) - 1
+    return elias_fano.encode(mono)
+
+
+def _ef_decode(buf: bytes, n: int) -> np.ndarray:
+    from dint_spark.codecs import elias_fano
+
+    mono = elias_fano.decode(buf, n).astype(np.uint64)
+    vals = np.diff(mono, prepend=np.uint64(0))
+    vals[1:] -= 1
+    return vals.astype(np.uint32)
+
+
+def _interp():
+    from dint_spark.codecs import interpolative
+
+    return SymmetricCodec("block_interpolative", interpolative.encode, interpolative.decode)
+
+
 def get_codec(name: str, dint_model=None):
     """Resolve a codec by index-type name (index_types.hpp naming)."""
     if name in ("block_vbyte", "vbyte"):
         return VBYTE
     if name in ("block_u32", "u32"):
         return U32
-    if name in ("single_packed_dint", "dint"):
+    if name in ("ef", "elias_fano"):
+        return SymmetricCodec("ef", _ef_encode, _ef_decode)
+    if name in ("block_interpolative", "interpolative"):
+        return _interp()
+    if name in ("single_packed_dint", "dint", "single_packed_dint_opt", "dint_opt"):
         if dint_model is None:
             raise ValueError("DINT codec needs a learned model")
         from dint_spark.codecs.dint import DintCodec
 
+        mode = "optimal" if name.endswith("opt") else "greedy"
         return PairCodec(
-            "single_packed_dint",
-            DintCodec(dint_model.docs),
-            DintCodec(dint_model.freqs),
+            name,
+            DintCodec(dint_model.docs, mode),
+            DintCodec(dint_model.freqs, mode),
         )
     raise KeyError(f"unknown codec {name!r}")

@@ -1,0 +1,73 @@
+"""DINT usage statistics — the dint_statistics surface
+(/root/reference/vroom_env/dint_codecs.hpp:8-35: codeword/int
+distribution per entry size, exception counts).
+
+`codeword_histogram` scans encoded streams and classifies every
+codeword: exception-16/32, zero-run (by run length), or dictionary
+pattern (by pattern size). Returned as a small DataFrame — the A10
+aggregation — via an Arrow kernel over the index table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from dint_spark.codecs.dint import EXC16, EXC32, RESERVED, RUN_SIZES, DintDict
+
+
+def _classify(cws: np.ndarray, sizes: np.ndarray) -> dict[str, int]:
+    out: dict[str, int] = {}
+    j = 0
+    m = cws.size
+    while j < m:
+        c = int(cws[j])
+        j += 1
+        if c >= RESERVED:
+            s = int(sizes[c - RESERVED])
+            key = f"pattern_{s}"
+            out[key] = out.get(key, 0) + 1
+        elif c == EXC16:
+            out["exception_16"] = out.get("exception_16", 0) + 1
+            j += 1
+        elif c == EXC32:
+            out["exception_32"] = out.get("exception_32", 0) + 1
+            j += 2
+        else:
+            key = f"run_{RUN_SIZES[c]}"
+            out[key] = out.get(key, 0) + 1
+    return out
+
+
+def codeword_histogram(
+    index: DataFrame, docs_dict: DintDict, freqs_dict: DintDict
+) -> DataFrame:
+    """(stream, kind, count) over the whole index."""
+    spark = index.sparkSession
+    bc = spark.sparkContext.broadcast((docs_dict.sizes, freqs_dict.sizes))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dsz, fsz = bc.value
+        acc: dict[tuple[str, str], int] = {}
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                for stream, buf, sizes in (
+                    ("docs", r.docs_bytes, dsz),
+                    ("freqs", r.freqs_bytes, fsz),
+                ):
+                    cws = np.frombuffer(buf, dtype=np.uint16)
+                    for kind, cnt in _classify(cws, sizes).items():
+                        acc[(stream, kind)] = acc.get((stream, kind), 0) + cnt
+        if acc:
+            yield pd.DataFrame(
+                [(s, k, v) for (s, k), v in acc.items()],
+                columns=["stream", "kind", "count"],
+            )
+
+    local = index.select("docs_bytes", "freqs_bytes").mapInPandas(
+        kernel, schema="stream string, kind string, count long"
+    )
+    return local.groupBy("stream", "kind").agg(F.sum("count").alias("count"))

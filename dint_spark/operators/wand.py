@@ -124,19 +124,22 @@ def wand_topk(
     best_dec = decode_block_index(
         bidx.join(F.broadcast(best_terms), "term_id", "left_semi"), codec
     )
-    w_desc = W.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("doc_id"))
+    # kth-best partial score via a bounded sort_array agg (no window —
+    # see operators/ranked.topk for why), ties irrelevant for the bound.
     theta_rows = (
         best_dec.join(F.broadcast(idx.docs.select("doc_id", "norm_len")), "doc_id")
         .join(F.broadcast(best_df), "term_id")
         .select(
             "query_id",
-            "doc_id",
             (F.col("qw") * doc_term_weight(F.col("tf"), F.col("norm_len"))).alias("_s"),
         )
-        .withColumn("_rn", F.row_number().over(w_desc))
-        .filter(F.col("_rn") <= k)
         .groupBy("query_id")
-        .agg(F.count("*").alias("cnt"), F.min("_s").alias("kth"))
+        .agg(F.slice(F.sort_array(F.collect_list("_s"), asc=False), 1, k).alias("_t"))
+        .select(
+            "query_id",
+            F.size("_t").alias("cnt"),
+            F.element_at("_t", -1).alias("kth"),
+        )
         .collect()
     )
     _t = _dbg("theta", _t)

@@ -53,6 +53,12 @@ def get_spark(
         # is meaningless → disable. (On a real cluster use a small value,
         # e.g. 100ms; never the 3s default with cached UDF outputs.)
         .config("spark.locality.wait", "0ms")
+        # Repeated shuffle-heavy jobs degrade monotonically (1.8s → 16.5s
+        # over 3 runs at local[32]) until a JVM GC lets ContextCleaner
+        # release stale shuffle/broadcast state; with a 48g mostly-idle
+        # heap that GC never comes (default periodicGC interval: 30min).
+        # A forced System.gc() restored 1.3s runs — so trigger it often.
+        .config("spark.cleaner.periodicGC.interval", "30s")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,101 @@
+"""spark-submit entry: run the 500-query BM25 batch against a built index.
+
+    python jobs/query_batch.py --index /tmp/idx --queries 500 --k 10 \
+        [--op ranked_or|wand|and|or]
+
+Prints one JSON line: {queries, wall_sec, qps, op, k}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True, help="IndexBuilder out dir")
+    ap.add_argument("--queries", type=int, default=500)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--op", default="ranked_or")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--repeats", type=int, default=1)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from dint_spark.session import get_spark
+
+        spark = get_spark("dint_query_batch")
+
+    from dint_spark.build.postings import FullTextIndex
+    from dint_spark.corpus import make_query_log
+    from dint_spark.operators.boolean import and_query, or_query
+    from dint_spark.operators.ranked import ranked_and, ranked_or
+    from dint_spark.util import materialize
+
+    load = lambda t: materialize(spark.read.parquet(os.path.join(args.index, t)))
+    postings = load("postings")
+    docs = load("docs")
+    vocab = load("vocab")
+    term_meta = load("term_meta")
+    num_docs = docs.count()
+    idx = FullTextIndex(
+        postings=postings, docs=docs, vocab=vocab, term_meta=term_meta,
+        num_docs=num_docs, avgdl=0.0,
+    )
+
+    qlog = make_query_log(args.queries, seed=args.seed)
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in qlog], "query_id long, terms array<string>"
+    )
+
+    def run():
+        if args.op == "ranked_or":
+            return ranked_or(postings, qdf, vocab, num_docs, k=args.k).count()
+        if args.op == "ranked_and":
+            return ranked_and(postings, qdf, vocab, num_docs, k=args.k).count()
+        if args.op == "wand":
+            from dint_spark.build.blocks import build_block_index
+            from dint_spark.build.dint_build import DintModel
+            from dint_spark.codecs.registry import get_codec
+            from dint_spark.operators.wand import wand_topk
+
+            model = DintModel.load(spark, os.path.join(args.index, "dint_model"))
+            codec = get_codec("single_packed_dint", model)
+            bidx = materialize(spark.read.parquet(os.path.join(args.index, "index")))
+            return wand_topk(idx, bidx, codec, qdf, num_docs, k=args.k).count()
+        if args.op == "and":
+            return and_query(postings, qdf).count()
+        if args.op == "or":
+            return or_query(postings, qdf).count()
+        raise SystemExit(f"unknown op {args.op}")
+
+    run()  # warmup pass, untimed (op_perftest protocol, queries.cpp:13-37)
+    t0 = time.perf_counter()
+    for _ in range(args.repeats):
+        n = run()
+    wall = (time.perf_counter() - t0) / args.repeats
+    print(
+        json.dumps(
+            {
+                "op": args.op,
+                "queries": args.queries,
+                "k": args.k,
+                "rows": n,
+                "wall_sec": round(wall, 3),
+                "qps": round(args.queries / wall, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

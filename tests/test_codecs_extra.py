@@ -1,0 +1,79 @@
+"""Elias-Fano, interpolative, optimal-parse DINT (F17/F2/F15 analogs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dint_spark.codecs import elias_fano as ef, interpolative as ip
+from dint_spark.codecs.dint import DintCodec, DintDict
+from dint_spark.codecs.registry import get_codec
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_ef_roundtrip(trial):
+    rng = np.random.default_rng(1000 + trial)
+    n = int(rng.integers(1, 400))
+    vals = np.sort(rng.choice(100000, size=n, replace=False)).astype(np.uint32)
+    assert np.array_equal(ef.decode(ef.encode(vals), n), vals)
+
+
+def test_ef_size_bound():
+    # n(2 + ceil(log2(U/n))) bits + header: dense seq ≈ 2 bits/int
+    vals = np.arange(0, 10000, 2, dtype=np.uint32)
+    enc = ef.encode(vals)
+    bpi = (len(enc) - 9) * 8 / vals.size
+    assert bpi < 3.2, bpi
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_interpolative_roundtrip(trial):
+    rng = np.random.default_rng(2000 + trial)
+    n = int(rng.integers(1, 257))
+    vals = rng.integers(0, 1 << int(rng.integers(1, 24)), size=n).astype(np.uint32)
+    assert np.array_equal(ip.decode(ip.encode(vals), n), vals)
+
+
+def test_interpolative_zeros_cheap():
+    # all-equal/zero blocks cost ~0 payload bits (degenerate ranges)
+    enc = ip.encode(np.zeros(256, dtype=np.uint32))
+    assert len(enc) <= 12
+
+
+def test_optimal_parse_beats_greedy_on_overlap():
+    """Greedy takes [a,b] then singletons; optimal takes a + [b,c,d,e]
+    (the motivating case for the DP, dint_codecs.hpp:141-283)."""
+    d = DintDict.from_patterns(
+        [np.array(p, dtype=np.uint32) for p in ([7, 8], [8, 9, 10, 11], [7])]
+    )
+    vals = np.array([7, 8, 9, 10, 11], dtype=np.uint32)
+    g = DintCodec(d, "greedy").encode(vals)
+    o = DintCodec(d, "optimal").encode(vals)
+    assert len(o) == 2 * 2  # [7] + [8,9,10,11]
+    assert len(g) > len(o)
+    assert np.array_equal(DintCodec(d, "optimal").decode(o, 5), vals)
+
+
+@pytest.mark.parametrize("trial", range(15))
+def test_optimal_never_worse_roundtrip(trial):
+    rng = np.random.default_rng(3000 + trial)
+    pats = [list(rng.integers(0, 50, size=s)) for s in (16, 8, 4, 2) for _ in range(4)]
+    pats += [[v] for v in range(40)]
+    d = DintDict.from_patterns([np.array(p, dtype=np.uint32) for p in pats])
+    g, o = DintCodec(d, "greedy"), DintCodec(d, "optimal")
+    n = int(rng.integers(1, 257))
+    vals = rng.integers(0, 60, size=n).astype(np.uint32)
+    if n > 40:
+        vals[5:25] = 0
+    eg, eo = g.encode(vals), o.encode(vals)
+    assert np.array_equal(g.decode(eg, n), vals)
+    assert np.array_equal(o.decode(eo, n), vals)
+    assert len(eo) <= len(eg)
+
+
+def test_registry_gap_codecs_roundtrip():
+    rng = np.random.default_rng(5)
+    gaps = rng.integers(0, 30, size=200).astype(np.uint32)
+    for name in ("ef", "block_interpolative", "block_vbyte", "block_u32"):
+        c = get_codec(name)
+        assert np.array_equal(c.decode_docs(c.encode_docs(gaps), 200), gaps), name
