@@ -6,18 +6,34 @@ line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
 
 Mirrors the reference's op_perftest protocol
 (/root/reference/src/queries.cpp:13-61): one untimed warmup pass per
-query, then timed runs; we also report queries/sec for the ranked batch
-(the north-rule headline) in the "extra" field.
+query, then N_RUNS timed runs; per query we report q50 (the headline
+number in "queries") plus avg/q50/q90/q95 in "extra.quantiles" — the
+same quantile surface queries.cpp emits. A forced JVM GC runs before
+each timed run: repeated shuffle-heavy jobs otherwise degrade until
+ContextCleaner releases stale shuffle/broadcast state (see
+dint_spark/session.py), which would measure allocator pressure, not
+the query.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_RUNS = 3
+
+
+def _quantile(xs: list[float], q: float) -> float:
+    """Nearest-rank quantile (matches the reference's integer-index pick,
+    queries.cpp:25-33) — robust for the tiny N_RUNS sample."""
+    s = sorted(xs)
+    i = min(len(s) - 1, max(0, round(q * (len(s) - 1))))
+    return s[i]
 
 
 def main() -> None:
@@ -48,15 +64,27 @@ def main() -> None:
     ]
     qs = E.queries()
     timings: dict[str, float] = {}
+    quantiles: dict[str, dict] = {}
     total = 0.0
     for name in headline:
         fn = qs[name]
         fn(spark, sf_dir).count()  # warmup (plan + cache touch), untimed
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+        runs: list[float] = []
+        for _ in range(N_RUNS):
+            spark._jvm.System.gc()  # measure the query, not stale JVM state
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        med = _quantile(runs, 0.5)
+        timings[name] = round(med, 4)
+        quantiles[name] = {
+            "avg": round(statistics.fmean(runs), 4),
+            "q50": round(med, 4),
+            "q90": round(_quantile(runs, 0.9), 4),
+            "q95": round(_quantile(runs, 0.95), 4),
+            "runs": N_RUNS,
+        }
+        total += med
 
     # north-rule headline: queries/sec for the 16-query ranked BM25 batch
     from dint_spark.queryset import QUERY_SET
@@ -76,6 +104,7 @@ def main() -> None:
             "num_docs": idx.num_docs,
             "ranked_or_qps": round(ranked_qps, 2),
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "quantiles": quantiles,
         },
     }
     print(json.dumps(out))

@@ -45,7 +45,7 @@ INDEX_SCHEMA = T.StructType(
         T.StructField("n", T.IntegerType(), False),
         T.StructField("block_base", T.LongType(), False),
         T.StructField("block_max", T.LongType(), False),
-        T.StructField("block_max_weight", T.DoubleType(), False),
+        T.StructField("block_max_weight", T.DoubleType(), True),
         T.StructField("docs_bytes", T.BinaryType(), False),
         T.StructField("freqs_bytes", T.BinaryType(), False),
     ]
@@ -83,17 +83,25 @@ def rank_within_term(postings: DataFrame, bucket_bits: int = 16) -> DataFrame:
 
 
 def _block_meta(ranked: DataFrame) -> DataFrame:
-    """Per-block metadata (metadata-sized): n, block_max, base, max_weight."""
+    """Per-block metadata (metadata-sized): n, block_max, base, max_weight.
+
+    Without norm_len, block_max_weight is NULL ("no bound" sentinel): an
+    index built that way cannot silently feed WAND's block-max filter
+    with a lossy 0.0 bound — the filter would drop every block and the
+    mismatch surfaces immediately instead of corrupting top-k results.
+    """
+    if "norm_len" in ranked.columns:
+        max_w = F.max(doc_term_weight(F.col("tf"), F.col("norm_len"))).alias(
+            "block_max_weight"
+        )
+    else:
+        max_w = F.lit(None).cast("double").alias("block_max_weight")
     blocks = (
         ranked.groupBy("term_id", "block_id")
         .agg(
             F.count("*").cast("int").alias("n"),
             F.max("doc_id").alias("block_max"),
-            F.max(doc_term_weight(F.col("tf"), F.col("norm_len"))).alias(
-                "block_max_weight"
-            )
-            if "norm_len" in ranked.columns
-            else F.lit(0.0).alias("block_max_weight"),
+            max_w,
         )
     )
     lag_w = W.partitionBy("term_id").orderBy("block_id")
@@ -227,17 +235,25 @@ def build_block_index(
     )
 
 
-def decode_block_index(index: DataFrame, codec) -> DataFrame:
-    """Compressed block table → postings(term_id, doc_id, tf).
+def decode_block_index(
+    index: DataFrame, codec, extra_cols: tuple[tuple[str, str], ...] = ()
+) -> DataFrame:
+    """Compressed block table → postings(term_id, doc_id, tf[, extras]).
 
     The verify_collection analog (/root/reference/include/ds2i/
     verify_collection.hpp:7-53): decoding every block must reproduce the
     input postings exactly (tested via exceptAll in tests + the driver's
     ft_decode_roundtrip oracle).
+
+    extra_cols: ((name, spark_type), ...) — columns of `index` replicated
+    onto every decoded posting of their block (lets a caller ride per-
+    block context, e.g. a query_id, through the decode without a
+    re-join; see operators/wand.py).
     """
 
     spark = index.sparkSession
     codec_bc = spark.sparkContext.broadcast(codec)
+    extra_names = [n for n, _ in extra_cols]
 
     def decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = codec_bc.value
@@ -247,21 +263,25 @@ def decode_block_index(index: DataFrame, codec) -> DataFrame:
                 gaps = c.decode_docs(r.docs_bytes, r.n).astype(np.int64)
                 docs = np.cumsum(gaps + 1) + r.block_base
                 tfs = c.decode_freqs(r.freqs_bytes, r.n).astype(np.int64) + 1
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term_id": np.full(r.n, r.term_id, dtype=np.int64),
-                            "doc_id": docs,
-                            "tf": tfs,
-                        }
-                    )
-                )
+                cols = {
+                    "term_id": np.full(r.n, r.term_id, dtype=np.int64),
+                    "doc_id": docs,
+                    "tf": tfs,
+                }
+                for name in extra_names:
+                    cols[name] = np.full(r.n, getattr(r, name))
+                outs.append(pd.DataFrame(cols))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
+    schema = ", ".join(
+        ["term_id long, doc_id long, tf long"]
+        + [f"{n} {t}" for n, t in extra_cols]
+    )
     return index.select(
-        "term_id", "block_id", "n", "block_base", "docs_bytes", "freqs_bytes"
-    ).mapInPandas(decode_blocks, schema=POSTINGS_SCHEMA)
+        "term_id", "block_id", "n", "block_base", "docs_bytes", "freqs_bytes",
+        *extra_names,
+    ).mapInPandas(decode_blocks, schema=schema)
 
 
 def index_stats(index: DataFrame) -> DataFrame:

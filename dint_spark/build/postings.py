@@ -10,7 +10,7 @@ This is the Spark re-creation of the ds2i data model (SURVEY.md §1):
   vocab(term, term_id, df)                 — term-ids are dense ordinals
       (dict_freq_index.hpp:174); we order lexicographically (deterministic
       and oracle-reproducible).
-  term_meta(term_id, df, max_weight)       — wand_data max_term_weight
+  term_meta(term_id, df, max_weight, w10)  — wand_data max_term_weight
       (wand_data.hpp:34-49).
 
 Scale notes (10^12-doc design):
@@ -38,6 +38,9 @@ from dint_spark.build.docids import dense_ids
 from dint_spark.util import materialize
 from dint_spark.functions.bm25 import doc_term_weight
 
+TOPK_BOUND_K = 10  # the reference harness's fixed top-k (queries.cpp:105-111);
+#   term_meta.w10 = 10th-largest list weight → WAND's metadata-only θ seed.
+
 
 @dataclass
 class FullTextIndex:
@@ -46,7 +49,7 @@ class FullTextIndex:
     postings: DataFrame  # term, term_id, doc_id, tf [, norm_len]
     docs: DataFrame      # doc_id, doc_len, norm_len
     vocab: DataFrame     # term, term_id, df
-    term_meta: DataFrame # term_id, df, max_weight
+    term_meta: DataFrame # term_id, df, max_weight, w10
     num_docs: int
     avgdl: float
 
@@ -82,21 +85,60 @@ def build_vocab(postings_raw: DataFrame, scalable: bool = False) -> DataFrame:
     )
 
 
-def build_term_meta(postings: DataFrame, docs: DataFrame, num_docs: int) -> DataFrame:
-    """term_meta(term_id, df, max_weight) — wand_data.hpp:34-49.
+def build_term_meta(
+    postings: DataFrame,
+    docs: DataFrame,
+    num_docs: int,
+    bucket_bits: int = 16,
+    merge_bits: int = 12,
+) -> DataFrame:
+    """term_meta(term_id, df, max_weight, w10) — wand_data.hpp:34-49.
 
     max_weight = max over the posting list of the BM25 doc-side weight;
-    it upper-bounds any doc's contribution for the term (the WAND bound).
+    it UPPER-bounds any doc's contribution for the term (the WAND bound).
+    w10 = the TOPK_BOUND_K-th (=10, the harness's fixed k) largest weight
+    in the list; qw·w10 LOWER-bounds the true kth-best total score for
+    any query containing the term, giving WAND a θ seed from term
+    metadata alone (operators/wand.py step 1). NULL when df < 10.
+
+    Scale shape: a three-level tree aggregation — per (term, 2^16-doc
+    bucket) bounded top-10 (collect_list bounded by bucket population),
+    a 4096-way merge level, then the per-term merge (≤ ~4k arrays of 10
+    even for a df≈10^12 stopword). No unbounded per-term buffer; docs
+    join carries no broadcast hint (both sides are data-sized at
+    cluster scale — AQE picks the strategy).
     """
     p = postings
     if "norm_len" not in p.columns:
-        p = p.join(F.broadcast(docs.select("doc_id", "norm_len")), "doc_id")
-    return (
-        p.groupBy("term_id")
+        p = p.join(docs.select("doc_id", "norm_len"), "doc_id")
+    dtw = doc_term_weight(F.col("tf"), F.col("norm_len"))
+    K = TOPK_BOUND_K
+    lvl1 = (
+        p.withColumn("_b1", F.shiftrightunsigned("doc_id", bucket_bits))
+        .groupBy("term_id", "_b1")
         .agg(
-            F.count("*").cast("long").alias("df"),
-            F.max(doc_term_weight(F.col("tf"), F.col("norm_len"))).alias("max_weight"),
+            F.count("*").alias("_n"),
+            F.max(dtw).alias("_mx"),
+            F.slice(F.sort_array(F.collect_list(dtw), asc=False), 1, K).alias("_t"),
         )
+    )
+    lvl2 = (
+        lvl1.withColumn("_b2", F.shiftrightunsigned("_b1", merge_bits))
+        .groupBy("term_id", "_b2")
+        .agg(
+            F.sum("_n").alias("_n"),
+            F.max("_mx").alias("_mx"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_t")), asc=False), 1, K
+            ).alias("_t"),
+        )
+    )
+    return lvl2.groupBy("term_id").agg(
+        F.sum("_n").cast("long").alias("df"),
+        F.max("_mx").alias("max_weight"),
+        F.get(
+            F.sort_array(F.flatten(F.collect_list("_t")), asc=False), K - 1
+        ).alias("w10"),
     )
 
 

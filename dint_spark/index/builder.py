@@ -134,6 +134,11 @@ class IndexBuilder:
             )
         postings = self.spark.read.parquet(self._table("postings"))
         fp_postings = self._load_lineage("postings")["input_fingerprint"] + ":postings"
+        # index/verify stages are keyed by postings AND codec (+ a schema
+        # version token): re-running on an existing out_dir with a
+        # different codec must re-encode + re-verify, never silently load
+        # an index encoded with the old codec.
+        fp_index = f"{fp_postings}:{self.codec_name}:v2"
 
         # stage: model (DINT only)
         model = None
@@ -157,7 +162,7 @@ class IndexBuilder:
         codec = get_codec(self.codec_name, model)
 
         # stage: index (block encode)
-        if not self._stage_done("index", fp_postings):
+        if not self._stage_done("index", fp_index):
             t0 = time.time()
             bidx = build_block_index(postings, codec)
             bidx.write.mode("overwrite").parquet(self._table("index"))
@@ -185,7 +190,7 @@ class IndexBuilder:
                 "index",
                 {
                     "stage": "index",
-                    "input_fingerprint": fp_postings,
+                    "input_fingerprint": fp_index,
                     "codec": self.codec_name,
                     "n_blocks": stats["n_blocks"],
                     "n_postings": stats["n_postings"],
@@ -197,7 +202,7 @@ class IndexBuilder:
         bidx = self.spark.read.parquet(self._table("index"))
 
         # stage: verify (decode round-trip, verify_collection semantics)
-        if not self._stage_done("verify", fp_postings):
+        if not self._stage_done("verify", fp_index):
             t0 = time.time()
             decoded = decode_block_index(bidx, codec)
             truth = postings.select("term_id", "doc_id", "tf")
@@ -211,7 +216,7 @@ class IndexBuilder:
                 "verify",
                 {
                     "stage": "verify",
-                    "input_fingerprint": fp_postings,
+                    "input_fingerprint": fp_index,
                     "missing": missing,
                     "extra": extra,
                     "wall_sec": round(time.time() - t0, 2),

@@ -14,9 +14,12 @@ a groupBy(query_id, doc_id), embarrassingly parallel across queries.
 
 Tie-breaking (SURVEY.md §7 hard spot 2): the reference heap keeps scores
 only; rank-identical docIDs require a deterministic order → we rank by
-(round(score, 6) DESC, doc_id ASC). Rounding before ranking makes the
-order reproducible across engines computing in float64; 6 decimals keeps
-eps-clamped dense-term scores (≈2.2e-6 · dtw) distinguishable.
+(round(score, 9) DESC, doc_id ASC). Rounding before ranking makes the
+order reproducible across engines computing in float64: with ≤ dozens of
+terms and scores ≤ O(10²), summation-order differences are ≤ ~1e-12 —
+far inside the 1e-9 quantum — while 9 decimals keeps even eps-clamped
+dense-term scores (≈2.2e-6 · dtw, tiny-vocab corpora) distinguishable,
+so WAND's θ pruning stays effective on them (operators/wand.py).
 
 Scale: postings is pre-filtered to query terms by a broadcast join (the
 scan reads only matching terms — with a term-bucketed index table this is
@@ -32,7 +35,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from dint_spark.functions.bm25 import doc_term_weight, query_term_weight
 from dint_spark.operators.boolean import query_terms
 
-SCORE_ROUND = 6
+SCORE_ROUND = 9
 
 
 def _scored_postings(

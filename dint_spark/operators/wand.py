@@ -7,85 +7,138 @@ Reference semantics (/root/reference/include/ds2i/queries.hpp):
                   cumulative max-weight bounds.
 
 Spark realization (SURVEY.md §4: two-phase — relational candidate
-pruning + exact rescore):
+pruning + exact rescore), as ONE fully-lazy plan with ZERO driver
+round-trips (plan build does no Spark jobs; the caller's action runs
+everything):
 
-  1. θ seed: exact top-k over the single highest-upper-bound term's
-     posting list (those partial scores lower-bound the true scores, so
-     their kth lower-bounds the true kth — a valid, cheap θ).
-  2. MaxScore split (queries.hpp:498-509): terms sorted by upper bound
-     ub = qw·max_weight; the maximal ascending prefix with Σub < θ is
-     non-essential — no doc lacking every essential term can reach θ.
+  1. θ seed — METADATA ONLY for k ≤ 10 (the harness's fixed k,
+     queries.cpp:105-111): term_meta stores w10, the 10th-largest BM25
+     doc weight of the list; a term with df ≥ 10 guarantees 10 docs
+     whose total score ≥ qw·w10, so θ = max over query terms of qw·w10
+     lower-bounds the true kth with NO posting decode — it falls out of
+     the same per-query window as the essential split (zero extra
+     stages). For k > 10: exact kth partial of the best term via
+     a BOUNDED two-phase top-k (partition-local head(k) Arrow kernel,
+     ≤ k rows per query per partition, then a ≤ k·P-row final slice —
+     never an unbounded collect_list, even for a df≈N stopword term).
+  2. MaxScore split (queries.hpp:498-509), relational: terms sorted by
+     upper bound ub = qw·max_weight; the maximal ascending prefix with
+     Σub < θ is non-essential (no doc lacking every essential term can
+     reach θ). A cumulative-sum window over the ≤|q|·16-row query-term
+     frame — no collect.
   3. Block-max pruning (wand only): essential term t's block b is
      skipped when qw_t·block_max_weight(t,b) + Σ_{t'≠t} ub_{t'} < θ —
      the reference's block-max skip as a FILTER on the block index's
      metadata columns (blocks never decoded).
-  4. Candidates = docs decoded from surviving essential blocks (cached —
-     consumed by two joins).
+  4. Candidates = docs decoded from surviving essential blocks, with
+     query_id riding through the decode kernel (extra_cols) — no
+     dedup/semi-join stages between filter and decode.
   5. Exact rescore: decode only blocks of query terms whose docID range
-     (block_base, block_max] holds a candidate (next_geq as a range
-     join), full BM25, top-k. Pruning is LOSSLESS: rank-identical to
-     ranked_or (the reference's own oracle, test_ranked_queries.cpp:42-74).
+     (block_base, block_max] holds a candidate (next_geq as a BUCKETED
+     range join — plain equi-join on (term_id, doc-range bucket); AQE
+     broadcasts whichever side is small, shuffles when both are big —
+     no data-sized broadcast hint), full BM25, top-k. Duplicate
+     (term, doc) requests are absorbed by the left-semi join against
+     the block table — no distinct shuffle.
 
-Driver/executor split: per-query term metadata (≤ |q|·terms rows) is
-collected and processed on the driver — window functions over
-16-row frames cost whole Spark stages and, un-materialized, get
-re-executed by every consumer subtree. Posting data never leaves
-executors.
+Losslessness (rank-identical to ranked_or, the reference's own oracle,
+test_ranked_queries.cpp:42-74): every true top-k doc has score ≥ the
+true kth ≥ θ_seed, so it survives steps 2-4 and all its blocks are
+decoded in step 5 → its score is complete. A doc PRUNED in 2-4 has
+true score < θ_eff = θ_seed − 2e-9; if it re-enters step 5 through a
+shared rescore block its PARTIAL score ≤ its true score < θ_eff, and
+after 9-decimal rounding it sits strictly below every true top-k doc
+(gap 2e-9 > rounding quantum 1e-9) — so no candidate-set semi-join is
+needed on the rescore output.
 
-θ safety margin: final ranking rounds scores to 6 decimals (oracle
-parity), so scores within 1e-6 can round equal and tie-break by doc_id;
-θ_eff = θ − 2e-6 keeps every potentially-tying doc. For corpora whose
-scores are all ≈2e-6 (every term df > N/2 → idf eps-clamped) this
-disables pruning — correctly: no bound separates such scores.
+θ safety margin: final ranking rounds scores to 9 decimals (oracle
+parity), so scores within 1e-9 can round equal and tie-break by doc_id;
+θ_eff = θ − 2e-9 keeps every potentially-tying doc. 9 decimals (not 6)
+matters: on tiny-vocab corpora every idf clamps to eps=1e-6 and ALL
+scores are ≈2e-6 — a 2e-6 margin would zero θ and disable pruning
+exactly where WAND is being exercised; at 1e-9 resolution those scores
+separate and pruning stays real.
 """
 
 from __future__ import annotations
 
-import os
-import time
-
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-_DEBUG = os.environ.get("DINT_WAND_DEBUG") == "1"
-
-
-def _dbg(label: str, t0: float) -> float:
-    if _DEBUG:
-        print(f"    [wand] {label}: {time.time() - t0:.1f}s", flush=True)
-    return time.time()
-
 from dint_spark.build.blocks import decode_block_index
-from dint_spark.build.postings import FullTextIndex
+from dint_spark.build.postings import TOPK_BOUND_K, FullTextIndex
 from dint_spark.functions.bm25 import doc_term_weight, query_term_weight
 from dint_spark.operators.boolean import query_terms
 from dint_spark.operators.ranked import topk
 
-THETA_MARGIN = 2e-6
+THETA_MARGIN = 2e-9
 
 
-def _query_term_bounds(
-    idx: FullTextIndex, queries: DataFrame, num_docs: int
-) -> list:
-    """[(query_id, term_id, qw, ub)] — driver-side (queries are tiny)."""
-    qt = query_terms(queries, dedup=False)  # query_id, term, qtf
-    qt = qt.join(F.broadcast(idx.vocab.select("term", "term_id", "df")), "term")
-    qt = qt.withColumn(
-        "qw", query_term_weight(F.col("qtf"), F.col("df"), F.lit(num_docs))
+def _bounded_kth(scores: DataFrame, k: int) -> DataFrame:
+    """(query_id, cnt, kth) — kth-largest `_s` per query, bounded memory.
+
+    Phase 1: Arrow kernel keeps the top k scores per query PER PARTITION
+    (the reference's topk_queue, queries.hpp:150-188 — one bounded heap
+    per partition). Phase 2: final slice over ≤ k·num_partitions rows
+    per query. No unbounded aggregation buffer anywhere.
+    """
+
+    def local(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cand = pd.concat([best, pdf], ignore_index=True) if best is not None else pdf
+            cand = cand.sort_values(["query_id", "_s"], ascending=[True, False])
+            best = cand.groupby("query_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    local_top = scores.mapInPandas(local, "query_id long, _s double")
+    return (
+        local_top.groupBy("query_id")
+        .agg(F.slice(F.sort_array(F.collect_list("_s"), asc=False), 1, k).alias("_t"))
+        .select(
+            "query_id",
+            F.size("_t").alias("cnt"),
+            F.element_at("_t", -1).alias("kth"),
+        )
     )
-    qt = qt.join(
-        F.broadcast(idx.term_meta.select("term_id", "max_weight")), "term_id"
-    ).select(
-        "query_id", "term_id", "qw", (F.col("qw") * F.col("max_weight")).alias("ub")
+
+
+def blocks_containing(
+    bounds: DataFrame, pairs: DataFrame, bucket_size: int
+) -> DataFrame:
+    """(term_id, block_id) rows (NOT deduped) whose (block_base, block_max]
+    docID range contains a requested (term_id, doc_id) pair — the batch
+    next_geq.
+
+    Scale shape: a BUCKETED range join. Each block row explodes into the
+    coarse doc-range buckets it overlaps (blocks tile a term's docID
+    space, so per term this adds ~universe/bucket_size + n_blocks rows);
+    each pair maps to one bucket; the join is a plain equi-join on
+    (term_id, bucket) + a range filter. No broadcast hint: AQE picks the
+    strategy from runtime sizes (both sides can be data-sized).
+    Duplicates are intended to be absorbed by a downstream left-semi
+    join, not a distinct.
+    """
+    b = bounds.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("block_base") + F.lit(1)) / bucket_size),
+                F.floor(F.col("block_max") / bucket_size),
+            )
+        ),
     )
-    return [
-        (r["query_id"], r["term_id"], r["qw"], r["ub"]) for r in qt.collect()
-    ]
-
-
-def _decode_blocks(bidx: DataFrame, marked: DataFrame, codec) -> DataFrame:
-    """Decode the distinct (term_id, block_id) rows marked."""
-    blocks = bidx.join(marked.distinct(), ["term_id", "block_id"], "left_semi")
-    return decode_block_index(blocks, codec)
+    p = pairs.withColumn("_bk", F.floor(F.col("doc_id") / bucket_size))
+    return (
+        p.join(b, ["term_id", "_bk"])
+        .filter(
+            (F.col("doc_id") > F.col("block_base"))
+            & (F.col("doc_id") <= F.col("block_max"))
+        )
+        .select("term_id", "block_id")
+    )
 
 
 def wand_topk(
@@ -97,124 +150,119 @@ def wand_topk(
     k: int = 10,
     use_block_max: bool = True,
 ) -> DataFrame:
-    spark = queries.sparkSession
-    _t = time.time()
-    qt = _query_term_bounds(idx, queries, num_docs)
-    _t = _dbg("qt bounds", _t)
-    qids = [r[0] for r in queries.select("query_id").collect()]
+    # ---- per-query term bounds (lazy, ≤ |queries|·16 rows) -------------
+    qt = query_terms(queries, dedup=False)  # query_id, term, qtf
+    qt = qt.join(F.broadcast(idx.vocab.select("term", "term_id", "df")), "term")
+    qt = qt.withColumn(
+        "qw", query_term_weight(F.col("qtf"), F.col("df"), F.lit(num_docs))
+    )
+    qt = qt.join(
+        F.broadcast(idx.term_meta.select("term_id", "max_weight", "w10")), "term_id"
+    ).select(
+        "query_id",
+        "term_id",
+        "qw",
+        (F.col("qw") * F.col("max_weight")).alias("ub"),
+        (F.col("qw") * F.col("w10")).alias("kth_lb"),
+    )
 
-    # ---- θ seed: one decode+score job over the best term per query -----
-    best = {}  # query_id -> (term_id, qw)
-    sum_ub: dict[int, float] = {}
-    by_query: dict[int, list] = {}
-    for qid, tid, qw, ub in qt:
-        by_query.setdefault(qid, []).append((tid, qw, ub))
-        sum_ub[qid] = sum_ub.get(qid, 0.0) + ub
-        if qid not in best or ub > best[qid][2]:
-            best[qid] = (tid, qw, ub)
-    best_rows = [(qid, t, q) for qid, (t, q, _) in best.items()]
-    if not best_rows:
-        return topk(
-            spark.createDataFrame([], "query_id long, doc_id long, score double"), k
-        )
-    best_df = spark.createDataFrame(best_rows, "query_id long, term_id long, qw double")
-    best_terms = spark.createDataFrame(
-        [(t,) for t in {t for _, t, _ in best_rows}], "term_id long"
+    # ---- θ seed ---------------------------------------------------------
+    w_all = W.partitionBy("query_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    best_dec = decode_block_index(
-        bidx.join(F.broadcast(best_terms), "term_id", "left_semi"), codec
-    )
-    # kth-best partial score via a bounded sort_array agg (no window —
-    # see operators/ranked.topk for why), ties irrelevant for the bound.
-    theta_rows = (
-        best_dec.join(F.broadcast(idx.docs.select("doc_id", "norm_len")), "doc_id")
-        .join(F.broadcast(best_df), "term_id")
-        .select(
-            "query_id",
-            (F.col("qw") * doc_term_weight(F.col("tf"), F.col("norm_len"))).alias("_s"),
+    if k <= TOPK_BOUND_K:
+        # Metadata-only θ: any query term with df ≥ TOPK_BOUND_K has
+        # TOPK_BOUND_K docs whose TOTAL score is ≥ qw·w10 (total ≥ that
+        # term's partial), so the true kth (k ≤ TOPK_BOUND_K) is
+        # ≥ max over terms of qw·w10 — computed by the SAME per-query
+        # window that does the essential split. No posting decode, no
+        # extra stage.
+        theta_col = F.max("kth_lb").over(w_all)
+    else:
+        # Exact seed: kth-best partial score of the highest-upper-bound
+        # term, via a bounded two-phase top-k over its decoded list.
+        w_best = W.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("term_id"))
+        best = (
+            qt.withColumn("_r", F.row_number().over(w_best))
+            .filter(F.col("_r") == 1)
+            .select("query_id", "term_id", "qw")
         )
-        .groupBy("query_id")
-        .agg(F.slice(F.sort_array(F.collect_list("_s"), asc=False), 1, k).alias("_t"))
-        .select(
-            "query_id",
-            F.size("_t").alias("cnt"),
-            F.element_at("_t", -1).alias("kth"),
+        best_dec = decode_block_index(
+            bidx.join(
+                F.broadcast(best.select("term_id").distinct()), "term_id", "left_semi"
+            ),
+            codec,
         )
-        .collect()
-    )
-    _t = _dbg("theta", _t)
-    theta = {
-        r["query_id"]: max(r["kth"] - THETA_MARGIN, 0.0)
-        for r in theta_rows
-        if r["cnt"] >= k
-    }
+        # docs join: no broadcast hint — norm_len is O(num_docs); AQE picks
+        # broadcast when it fits, shuffle join when it doesn't (10^12 docs).
+        seed = (
+            best_dec.join(idx.docs.select("doc_id", "norm_len"), "doc_id")
+            .join(F.broadcast(best), "term_id")
+            .select(
+                "query_id",
+                (F.col("qw") * doc_term_weight(F.col("tf"), F.col("norm_len"))).alias("_s"),
+            )
+        )
+        theta_df = _bounded_kth(seed, k).filter(F.col("cnt") >= k).select(
+            "query_id", "kth"
+        )
+        qt = qt.join(theta_df, "query_id", "left")
+        theta_col = F.col("kth")
 
-    # ---- essential split (driver-side, ≤ a few rows per query) ---------
-    essential: list[tuple[int, int]] = []  # (query_id, term_id)
-    for qid, terms in by_query.items():
-        th = theta.get(qid, 0.0)
-        terms_asc = sorted(terms, key=lambda t: (t[2], t[0]))
-        cum = 0.0
-        for tid, qw, ub in terms_asc:
-            cum += ub
-            if cum >= th:
-                essential.append((qid, tid))
-    ess_df = spark.createDataFrame(essential, "query_id long, term_id long")
-
-    # ---- candidate generation from surviving essential blocks ----------
-    ess_meta = spark.createDataFrame(
-        [
-            (qid, tid, qw, ub, theta.get(qid, 0.0), sum_ub[qid])
-            for qid, terms in by_query.items()
-            for (tid, qw, ub) in terms
-            if (qid, tid) in set(essential)
-        ],
-        "query_id long, term_id long, qw double, ub double, theta double, sum_ub double",
+    # ---- essential split (queries.hpp:498-509) as tiny-frame windows ---
+    # θ, Σub and the cumulative prefix all come out of ONE per-query
+    # window exchange over the ≤|q|·16-row frame.
+    qt2 = qt.withColumn(
+        "theta",
+        F.coalesce(F.greatest(theta_col - THETA_MARGIN, F.lit(0.0)), F.lit(0.0)),
     )
+    w_cum = (
+        W.partitionBy("query_id")
+        .orderBy(F.asc("ub"), F.asc("term_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    qt2 = qt2.withColumn("cum_ub", F.sum("ub").over(w_cum)).withColumn(
+        "sum_ub", F.sum("ub").over(w_all)
+    )
+    ess_meta = qt2.filter(F.col("cum_ub") >= F.col("theta")).select(
+        "query_id", "term_id", "qw", "ub", "theta", "sum_ub"
+    )
+    qt_df = qt.select("query_id", "term_id", "qw")
+
+    # ---- candidates from surviving essential blocks --------------------
+    # query_id rides through the decode kernel: no dedup/semi-join stage.
+    # A block shared by two queries' essential sets decodes once per
+    # query — the reference executes per query too (queries.cpp:37-44).
     ess_blocks = bidx.join(F.broadcast(ess_meta), "term_id")
     if use_block_max:
         ess_blocks = ess_blocks.filter(
             F.col("qw") * F.col("block_max_weight") + (F.col("sum_ub") - F.col("ub"))
             >= F.col("theta")
         )
-    cand_dec = _decode_blocks(bidx, ess_blocks.select("term_id", "block_id"), codec)
-    candidates = (
-        cand_dec.select("term_id", "doc_id")
-        .join(F.broadcast(ess_df), "term_id")
-        .select("query_id", "doc_id")
-        .distinct()
-    )
-    from dint_spark.util import materialize
+    cand = decode_block_index(
+        ess_blocks, codec, extra_cols=(("query_id", "long"),)
+    ).select("query_id", "doc_id")
 
-    # consumed by the range join AND the rescore semi-join; lineage
-    # truncated so both consumers analyze a leaf, not the decode tree
-    candidates = materialize(candidates)
-    _t = _dbg("candidates", _t)
+    # candidate (query, doc) pairs → (term, doc) next_geq targets across
+    # the query's FULL term set; per-query detail drops out here.
+    # NOTE: every qt_df reference below uses the SAME projection so
+    # Catalyst's ReuseExchange shares one computation of the query-term
+    # subtree (differing projections would defeat canonicalization).
+    pairs = cand.join(F.broadcast(qt_df), "query_id").select("term_id", "doc_id")
 
     # ---- exact rescore over blocks containing candidates ---------------
-    qt_df = spark.createDataFrame(
-        [(qid, tid, qw) for qid, tid, qw, _ in qt],
-        "query_id long, term_id long, qw double",
+    # left-semi tolerates duplicate term_ids in qt_df — no distinct stage.
+    bounds = bidx.select("term_id", "block_id", "block_base", "block_max").join(
+        F.broadcast(qt_df), "term_id", "left_semi"
     )
-    c = candidates.select(
-        F.col("query_id").alias("c_qid"), F.col("doc_id").alias("c_doc")
+    bucket = max(256, num_docs // 1024)
+    need = blocks_containing(bounds, pairs, bucket)
+    rescore_dec = decode_block_index(
+        bidx.join(need, ["term_id", "block_id"], "left_semi"), codec
     )
-    need = (
-        bidx.select("term_id", "block_id", "block_base", "block_max")
-        .join(F.broadcast(qt_df.select("query_id", "term_id").distinct()), "term_id")
-        .join(
-            F.broadcast(c),
-            (F.col("query_id") == F.col("c_qid"))
-            & (F.col("c_doc") > F.col("block_base"))
-            & (F.col("c_doc") <= F.col("block_max")),
-            "left_semi",
-        )
-    )
-    rescore_dec = _decode_blocks(bidx, need.select("term_id", "block_id"), codec)
     scored = (
-        rescore_dec.join(F.broadcast(idx.docs.select("doc_id", "norm_len")), "doc_id")
+        rescore_dec.join(idx.docs.select("doc_id", "norm_len"), "doc_id")
         .join(F.broadcast(qt_df), "term_id")
-        .join(candidates, ["query_id", "doc_id"], "left_semi")
         .select(
             "query_id",
             "doc_id",
@@ -223,9 +271,7 @@ def wand_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("_s").alias("score"))
     )
-    out = topk(scored, k)
-    _dbg("rescore plan built", _t)
-    return out
+    return topk(scored, k)
 
 
 def maxscore_topk(

@@ -97,7 +97,7 @@ class PyRefIndex:
                 scores[d] = scores.get(d, dtype(0)) + qw * dtw
         return scores
 
-    def ranked_or(self, terms: list[str], k: int = 10, dtype=np.float64, round_to: int | None = 6):
+    def ranked_or(self, terms: list[str], k: int = 10, dtype=np.float64, round_to: int | None = 9):
         scores = self._scores(terms, dtype)
         items = [
             (float(np.round(s, round_to)) if round_to is not None else float(s), d)
@@ -106,7 +106,7 @@ class PyRefIndex:
         items.sort(key=lambda x: (-x[0], x[1]))
         return [(d, s) for s, d in items[:k]]
 
-    def ranked_and(self, terms: list[str], k: int = 10, dtype=np.float64, round_to: int | None = 6):
+    def ranked_and(self, terms: list[str], k: int = 10, dtype=np.float64, round_to: int | None = 9):
         ts = set(terms)
         match = None
         for t in sorted(ts):

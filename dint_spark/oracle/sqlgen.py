@@ -10,7 +10,7 @@ Parity rules (mirrored by the Spark side):
   tokens filtered both sides.
 * BM25 constants inline: k1=1.2, b=0.5, eps=1e-6, (1+k1)=2.2
   (reference /root/reference/include/ds2i/bm25.hpp:7-25).
-* scores rounded to 6 decimals BEFORE ranking; ties broken by doc_id ASC.
+* scores rounded to 9 decimals BEFORE ranking; ties broken by doc_id ASC.
 * every integer output BIGINT, every float output DOUBLE.
 """
 
@@ -119,9 +119,9 @@ LEFT JOIN (
 
 _TOPK = """
 SELECT query_id, doc_id, score, rank FROM (
-  SELECT query_id, doc_id, round(score, 6) AS score,
+  SELECT query_id, doc_id, round(score, 9) AS score,
          row_number() OVER (
-           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+           PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id
          )::BIGINT AS rank
   FROM {src}
 ) WHERE rank <= {k}

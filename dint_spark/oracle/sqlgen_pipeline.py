@@ -289,7 +289,7 @@ vocab AS (
   SELECT term, (row_number() OVER (ORDER BY term) - 1)::BIGINT AS term_id
   FROM (SELECT DISTINCT term FROM tokp)
 )
-SELECT t.doc_id, sum(t.pos * v.term_id) % {FP_MOD} AS fp
+SELECT t.doc_id, (sum(t.pos * v.term_id) % {FP_MOD})::BIGINT AS fp
 FROM tokp t JOIN vocab v USING (term)
 GROUP BY t.doc_id
 """

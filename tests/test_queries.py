@@ -81,11 +81,11 @@ def test_ranked_or_matches_bruteforce(spark, tiny_index):
         by_q.setdefault(r["query_id"], []).append(r)
     for i, terms in enumerate(qs):
         scores = _bm25(docs, N, avgdl, terms)
-        exp = sorted(scores.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:3]
+        exp = sorted(scores.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:3]
         rows = sorted(by_q[i], key=lambda r: r["rank"])
         assert [r["doc_id"] for r in rows] == [d for d, _ in exp], (i, terms)
         for r, (_, s) in zip(rows, exp):
-            assert abs(r["score"] - round(s, 6)) < 1e-9
+            assert abs(r["score"] - round(s, 9)) < 1e-9
 
 
 def test_ranked_and_subset_of_or(spark, tiny_index):
@@ -102,7 +102,7 @@ def test_ranked_and_subset_of_or(spark, tiny_index):
         ts = set(terms)
         match = {d for d, toks in docs.items() if ts <= set(toks)}
         scores = {d: s for d, s in _bm25(docs, N, avgdl, terms).items() if d in match}
-        exp = sorted(scores.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))
+        exp = sorted(scores.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))
         rows = sorted(by_q.get(i, []), key=lambda r: r["rank"])
         assert [r["doc_id"] for r in rows] == [d for d, _ in exp], (i, terms)
 
