@@ -135,23 +135,31 @@ def q_ft_block_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bits-per-integer per codec (rows-only check: byte sizes aren't
-    SQL-derivable). Reference metric surface: README.md:110-115 bpi table."""
-    from dint_spark.build.blocks import index_stats
+    SQL-derivable). Reference metric surface: README.md:110-115 bpi table.
+    All codecs share ONE prepared block pipeline (engine.get_index_stats)."""
+    from dint_spark.engine import get_index_stats
+
+    return get_index_stats(
+        spark,
+        sf_dir,
+        [
+            "block_vbyte",
+            "ef",
+            "block_interpolative",
+            "single_packed_dint",
+            "multi_packed_dint",
+        ],
+    )
+
+
+def q_ft_decode_roundtrip_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the multi_packed (6 selector dictionaries, 12-way
+    tournament) index — must equal the oracle's postings exactly."""
+    from dint_spark.build.blocks import decode_block_index
     from dint_spark.engine import get_block_index
 
-    outs = []
-    for codec_name in (
-        "block_vbyte",
-        "ef",
-        "block_interpolative",
-        "single_packed_dint",
-    ):
-        bidx, _ = get_block_index(spark, sf_dir, codec_name)
-        outs.append(index_stats(bidx).withColumn("codec", F.lit(codec_name)))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.select("codec", "n_blocks", "n_postings", "docs_bpi", "freqs_bpi")
+    bidx, codec = get_block_index(spark, sf_dir, "multi_packed_dint")
+    return decode_block_index(bidx, codec)
 
 
 def q_ft_dint_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wand": q_ft_wand,
         "ft_maxscore": q_ft_maxscore,
         "ft_decode_roundtrip": q_ft_decode_roundtrip,
+        "ft_decode_roundtrip_multi": q_ft_decode_roundtrip_multi,
         "ft_block_meta": q_ft_block_meta,
         "ft_index_stats": q_ft_index_stats,
         "ft_dint_histogram": q_ft_dint_histogram,
@@ -315,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_wand": S.RANKED_OR,  # pruning must be lossless
         "ft_maxscore": S.RANKED_OR,
         "ft_decode_roundtrip": S.POSTINGS,
+        "ft_decode_roundtrip_multi": S.POSTINGS,
         "ft_block_meta": S.BLOCK_META,
         # ft_index_stats intentionally has no oracle (binary payload sizes
         # are not SQL-derivable) → driver records rows-only check.

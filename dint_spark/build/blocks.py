@@ -183,6 +183,7 @@ def build_block_index(
     postings: DataFrame,
     codec,
     block_size: int = BLOCK_SIZE,
+    prepared: tuple | None = None,
 ) -> DataFrame:
     """postings(term_id, doc_id, tf[, norm_len]) → compressed block table.
 
@@ -190,8 +191,15 @@ def build_block_index(
     -> bytes and decode_docs/decode_freqs(bytes, n) -> u32 array
     (codecs/registry.py). It is broadcast once per job, not shipped per
     task (DINT models carry a 65k-entry pattern table).
+
+    `prepared` takes a precomputed (data, meta) pair from
+    prepare_block_data — callers encoding the SAME postings with several
+    codecs (codec benchmarking, ft_index_stats) materialize the prepared
+    frames once instead of re-ranking/re-shuffling per codec.
     """
-    data, meta = prepare_block_data(postings, block_size)
+    data, meta = prepared if prepared is not None else prepare_block_data(
+        postings, block_size
+    )
     spark = postings.sparkSession
     codec_bc = spark.sparkContext.broadcast(codec)
     mw = meta.select("term_id", "block_id", "n", "block_max", "block_max_weight")

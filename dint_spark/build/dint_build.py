@@ -35,11 +35,27 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from dint_spark.build.blocks import BLOCK_SIZE, iter_block_arrays, prepare_block_data
-from dint_spark.codecs.dint import NUM_ENTRIES, RESERVED, DintDict, extract_patterns
+from dint_spark.codecs.dint import (
+    NUM_ENTRIES,
+    NUM_SELECTORS,
+    RESERVED,
+    DintDict,
+    extract_patterns,
+    extract_patterns_multi,
+)
 
 _STATS_SCHEMA = T.StructType(
     [
         T.StructField("stream", T.StringType(), False),
+        T.StructField("pattern", T.BinaryType(), False),
+        T.StructField("freq", T.LongType(), False),
+    ]
+)
+
+_MULTI_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("stream", T.StringType(), False),
+        T.StructField("selector", T.IntegerType(), False),
         T.StructField("pattern", T.BinaryType(), False),
         T.StructField("freq", T.LongType(), False),
     ]
@@ -78,6 +94,46 @@ class DintModel:
         return cls(docs=dicts["docs"], freqs=dicts["freqs"])
 
 
+@dataclass
+class MultiDintModel:
+    """NUM_SELECTORS dictionaries per stream — the multi_packed model
+    (block_multi_statistics, block_statistics.hpp:171-258)."""
+
+    docs: list  # [DintDict] × NUM_SELECTORS
+    freqs: list
+
+    def save(self, spark, path: str) -> None:
+        rows = []
+        for stream, dicts in (("docs", self.docs), ("freqs", self.freqs)):
+            for sel, d in enumerate(dicts):
+                for i in range(len(d)):
+                    s = int(d.sizes[i])
+                    rows.append(
+                        (stream, sel, RESERVED + i, d.matrix[i, :s].tobytes())
+                    )
+        df = spark.createDataFrame(
+            rows,
+            schema="stream string, selector int, codeword long, pattern binary",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "MultiDintModel":
+        rows = spark.read.parquet(path).collect()
+        per: dict[tuple[str, int], list[tuple[int, bytes]]] = {}
+        for r in rows:
+            per.setdefault((r["stream"], r["selector"]), []).append(
+                (r["codeword"], r["pattern"])
+            )
+        out = {"docs": [], "freqs": []}
+        for stream in ("docs", "freqs"):
+            for sel in range(NUM_SELECTORS):
+                lst = sorted(per.get((stream, sel), []))
+                pats = [np.frombuffer(p, dtype=np.uint32) for _, p in lst]
+                out[stream].append(DintDict.from_patterns(pats))
+        return cls(docs=out["docs"], freqs=out["freqs"])
+
+
 def collect_pattern_stats(
     postings: DataFrame, block_size: int = BLOCK_SIZE
 ) -> DataFrame:
@@ -101,12 +157,42 @@ def collect_pattern_stats(
     return local.groupBy("stream", "pattern").agg(F.sum("freq").alias("freq"))
 
 
+def collect_pattern_stats_multi(
+    postings: DataFrame, block_size: int = BLOCK_SIZE
+) -> DataFrame:
+    """(stream, selector, pattern, freq) — pattern frequencies partitioned
+    by the block's selector context (block_multi_statistics semantics:
+    only FULL blocks train dictionaries; tails go to interpolative)."""
+    data, _ = prepare_block_data(postings, block_size)
+
+    def stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs_counters: list[dict] = [{} for _ in range(NUM_SELECTORS)]
+        freqs_counters: list[dict] = [{} for _ in range(NUM_SELECTORS)]
+        for _tid, _bid, _base, gaps, freqs in iter_block_arrays(batches):
+            extract_patterns_multi(gaps, docs_counters)
+            extract_patterns_multi(freqs, freqs_counters)
+        rows = [
+            (stream, sel, k, v)
+            for stream, counters in (("docs", docs_counters), ("freqs", freqs_counters))
+            for sel, counter in enumerate(counters)
+            for k, v in counter.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["stream", "selector", "pattern", "freq"])
+
+    local = data.mapInPandas(stats_kernel, schema=_MULTI_STATS_SCHEMA)
+    return local.groupBy("stream", "selector", "pattern").agg(
+        F.sum("freq").alias("freq")
+    )
+
+
 def select_dictionary(
     stats: DataFrame,
     stream: str,
     capacity: int = NUM_ENTRIES - RESERVED,
     total_ints: int | None = None,
     eps: float = 1e-9,
+    selector: int | None = None,
 ) -> list[np.ndarray]:
     """DSF selection: cost filter (A4) then top-capacity by (freq, size).
 
@@ -115,9 +201,10 @@ def select_dictionary(
     codeword cost); keep it iff the saving fraction of the stream's total
     exceeds eps. Singletons are always kept (exception codes are dearer).
     """
-    s = stats.filter(F.col("stream") == stream).withColumn(
-        "size", (F.octet_length("pattern") / 4).cast("int")
-    )
+    s = stats.filter(F.col("stream") == stream)
+    if selector is not None:
+        s = s.filter(F.col("selector") == selector)
+    s = s.withColumn("size", (F.octet_length("pattern") / 4).cast("int"))
     if total_ints:
         min_saving = eps * 48.0 * float(total_ints)
         s = s.filter(
@@ -151,3 +238,28 @@ def learn_dint_model(
         docs=DintDict.from_patterns(docs_pats),
         freqs=DintDict.from_patterns(freqs_pats),
     )
+
+
+def learn_multi_dint_model(
+    postings: DataFrame,
+    capacity: int = NUM_ENTRIES - RESERVED,
+    block_size: int = BLOCK_SIZE,
+    eps: float = 1e-9,
+) -> MultiDintModel:
+    """2 × NUM_SELECTORS dictionaries, one selector-partitioned stats pass
+    (dict_freq_index builder with block_multi_statistics). The DSF cost
+    filter uses the stream-global posting count, as the reference's
+    filter closes over total_integers (block_statistics.hpp:245-249)."""
+    n_postings = postings.count()
+    stats = collect_pattern_stats_multi(postings, block_size).cache()
+    try:
+        dicts: dict[str, list[DintDict]] = {"docs": [], "freqs": []}
+        for stream in ("docs", "freqs"):
+            for sel in range(NUM_SELECTORS):
+                pats = select_dictionary(
+                    stats, stream, capacity, n_postings, eps, selector=sel
+                )
+                dicts[stream].append(DintDict.from_patterns(pats))
+    finally:
+        stats.unpersist()
+    return MultiDintModel(docs=dicts["docs"], freqs=dicts["freqs"])

@@ -99,6 +99,11 @@ def encode(values: np.ndarray) -> bytes:
         return np.array([0, 0], dtype=np.uint32).tobytes()
     mono = np.cumsum(v + 1) - 1  # strictly increasing
     last = int(mono[-1])
+    if last > 0xFFFFFFFF:
+        # the u32-count/u32-last header (and the reference's u32
+        # sum_of_values) cannot represent this block — fail loudly
+        # instead of silently wrapping.
+        raise ValueError(f"interpolative: block sum {last} exceeds u32 domain")
     w = _BitWriter()
     _enc(w, mono[:-1], 0, last - 1)
     return np.array([n, last], dtype=np.uint32).tobytes() + w.getvalue()

@@ -106,15 +106,34 @@ def get_codec(name: str, dint_model=None):
         return SymmetricCodec("ef", _ef_encode, _ef_decode)
     if name in ("block_interpolative", "interpolative"):
         return _interp()
-    if name in ("single_packed_dint", "dint", "single_packed_dint_opt", "dint_opt"):
+    if name in (
+        "single_packed_dint",
+        "dint",
+        "single_packed_dint_opt",
+        "dint_opt",
+        "single_packed_dint_greedy",
+        "dint_greedy",
+    ):
         if dint_model is None:
             raise ValueError("DINT codec needs a learned model")
         from dint_spark.codecs.dint import DintCodec
 
-        mode = "optimal" if name.endswith("opt") else "greedy"
+        # optimal parse is the SHIPPED default (the reference publishes
+        # opt-parse indexes, README.md:112-115); greedy kept by name.
+        mode = "greedy" if name.endswith("greedy") else "optimal"
         return PairCodec(
             name,
-            DintCodec(dint_model.docs, mode),
-            DintCodec(dint_model.freqs, mode),
+            DintCodec(dint_model.docs, mode, tail_fallback=True),
+            DintCodec(dint_model.freqs, mode, tail_fallback=True),
+        )
+    if name == "multi_packed_dint":
+        if dint_model is None:
+            raise ValueError("DINT codec needs a learned model")
+        from dint_spark.codecs.dint import MultiDintCodec
+
+        return PairCodec(
+            name,
+            MultiDintCodec(dint_model.docs),
+            MultiDintCodec(dint_model.freqs),
         )
     raise KeyError(f"unknown codec {name!r}")

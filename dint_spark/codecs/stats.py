@@ -16,7 +16,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from dint_spark.codecs.dint import EXC16, EXC32, RESERVED, RUN_SIZES, DintDict
+from dint_spark.codecs.dint import (
+    DINT_BLOCK_SIZE,
+    EXC16,
+    EXC32,
+    RESERVED,
+    RUN_SIZES,
+    DintDict,
+)
 
 
 def _classify(cws: np.ndarray, sizes: np.ndarray) -> dict[str, int]:
@@ -58,6 +65,13 @@ def codeword_histogram(
                     ("docs", r.docs_bytes, dsz),
                     ("freqs", r.freqs_bytes, fsz),
                 ):
+                    if r.n < DINT_BLOCK_SIZE:
+                        # partial block → interpolative payload, no
+                        # codewords to classify (dint_codecs.hpp:161-164)
+                        acc[(stream, "interpolative_tail")] = (
+                            acc.get((stream, "interpolative_tail"), 0) + 1
+                        )
+                        continue
                     cws = np.frombuffer(buf, dtype=np.uint16)
                     for kind, cnt in _classify(cws, sizes).items():
                         acc[(stream, kind)] = acc.get((stream, kind), 0) + cnt
@@ -67,7 +81,7 @@ def codeword_histogram(
                 columns=["stream", "kind", "count"],
             )
 
-    local = index.select("docs_bytes", "freqs_bytes").mapInPandas(
+    local = index.select("n", "docs_bytes", "freqs_bytes").mapInPandas(
         kernel, schema="stream string, kind string, count long"
     )
     return local.groupBy("stream", "kind").agg(F.sum("count").alias("count"))

@@ -41,7 +41,13 @@ def get_block_index(spark: SparkSession, sf_dir: str, codec_name: str = "single_
 
         idx = get_index(spark, sf_dir)
         model = None
-        if codec_name in ("single_packed_dint", "dint"):
+        if codec_name == "multi_packed_dint":
+            from dint_spark.build.dint_build import learn_multi_dint_model
+
+            model = learn_multi_dint_model(
+                idx.postings.select("term_id", "doc_id", "tf")
+            )
+        elif codec_name.startswith(("single_packed_dint", "dint")):
             from dint_spark.build.dint_build import learn_dint_model
 
             model = learn_dint_model(idx.postings.select("term_id", "doc_id", "tf"))
@@ -52,6 +58,54 @@ def get_block_index(spark: SparkSession, sf_dir: str, codec_name: str = "single_
         hit = (block_idx, codec)
         _BLOCK_CACHE[key] = hit
     return hit
+
+
+def get_index_stats(
+    spark: SparkSession, sf_dir: str, codec_names: list[str]
+) -> DataFrame:
+    """bits-per-integer per codec, sharing ONE prepared block pipeline.
+
+    prepare_block_data (rank + block cut + chunked repartition) is
+    materialized once; each codec only runs its encode kernel over the
+    same prepared frames — n codecs cost n encodes, not n full builds.
+    """
+    from dint_spark.build.blocks import build_block_index, index_stats, prepare_block_data
+    from dint_spark.codecs.registry import get_codec
+    from dint_spark.util import materialize
+
+    idx = get_index(spark, sf_dir)
+    postings = idx.postings.select("term_id", "doc_id", "tf", "norm_len")
+    data, meta = prepare_block_data(postings)
+    data, meta = materialize(data), materialize(meta)
+
+    single_model = None
+    multi_model = None
+    outs = []
+    for name in codec_names:
+        if name == "multi_packed_dint":
+            if multi_model is None:
+                from dint_spark.build.dint_build import learn_multi_dint_model
+
+                multi_model = learn_multi_dint_model(
+                    idx.postings.select("term_id", "doc_id", "tf")
+                )
+            codec = get_codec(name, multi_model)
+        elif name.startswith(("single_packed_dint", "dint")):
+            if single_model is None:
+                from dint_spark.build.dint_build import learn_dint_model
+
+                single_model = learn_dint_model(
+                    idx.postings.select("term_id", "doc_id", "tf")
+                )
+            codec = get_codec(name, single_model)
+        else:
+            codec = get_codec(name)
+        bidx = build_block_index(postings, codec, prepared=(data, meta))
+        outs.append(index_stats(bidx).withColumn("codec", F.lit(name)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("codec", "n_blocks", "n_postings", "docs_bpi", "freqs_bpi")
 
 
 def get_queries(spark: SparkSession) -> DataFrame:

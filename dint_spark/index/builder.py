@@ -32,7 +32,12 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dint_spark.build.blocks import build_block_index, decode_block_index, index_stats
-from dint_spark.build.dint_build import DintModel, learn_dint_model
+from dint_spark.build.dint_build import (
+    DintModel,
+    MultiDintModel,
+    learn_dint_model,
+    learn_multi_dint_model,
+)
 from dint_spark.build.postings import build_fulltext_index
 from dint_spark.codecs.registry import get_codec
 from dint_spark.corpus import with_doc_ids
@@ -140,25 +145,36 @@ class IndexBuilder:
         # an index encoded with the old codec.
         fp_index = f"{fp_postings}:{self.codec_name}:v2"
 
-        # stage: model (DINT only)
+        # stage: model (DINT only); keyed by postings AND model family so
+        # switching single↔multi on one out_dir relearns, never misloads.
         model = None
-        if self.codec_name in ("single_packed_dint", "dint"):
-            if not self._stage_done("model", fp_postings):
+        is_multi = self.codec_name == "multi_packed_dint"
+        is_dint = is_multi or self.codec_name.startswith(("single_packed_dint", "dint"))
+        if is_dint:
+            family = "multi" if is_multi else "single"
+            fp_model = f"{fp_postings}:{family}"
+            learn = learn_multi_dint_model if is_multi else learn_dint_model
+            cls = MultiDintModel if is_multi else DintModel
+            if not self._stage_done("model", fp_model):
                 t0 = time.time()
-                model = learn_dint_model(postings.select("term_id", "doc_id", "tf"))
+                model = learn(postings.select("term_id", "doc_id", "tf"))
                 model.save(self.spark, self._table("dint_model"))
                 self._write_lineage(
                     "model",
                     {
                         "stage": "model",
-                        "input_fingerprint": fp_postings,
-                        "docs_entries": len(model.docs),
-                        "freqs_entries": len(model.freqs),
+                        "input_fingerprint": fp_model,
+                        "docs_entries": sum(len(d) for d in model.docs)
+                        if is_multi
+                        else len(model.docs),
+                        "freqs_entries": sum(len(d) for d in model.freqs)
+                        if is_multi
+                        else len(model.freqs),
                         "wall_sec": round(time.time() - t0, 2),
                     },
                 )
             else:
-                model = DintModel.load(self.spark, self._table("dint_model"))
+                model = cls.load(self.spark, self._table("dint_model"))
         codec = get_codec(self.codec_name, model)
 
         # stage: index (block encode)

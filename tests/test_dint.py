@@ -113,3 +113,107 @@ def test_learned_model_roundtrip(spark, random_postings):
         assert np.array_equal(
             c2.docs.decode(codec.docs.encode(vals), len(vals)), vals
         )
+
+
+def test_selector_code_classes():
+    from dint_spark.codecs.dint import selector_code
+
+    mk = lambda *v: np.array(v, dtype=np.uint32)
+    assert selector_code(mk(0, 1)) == 0
+    assert selector_code(mk(2)) == 1  # ceil_log2(ceil_log2(3)) = 1
+    assert selector_code(mk(3)) == 1
+    assert selector_code(mk(16)) == 3
+    assert selector_code(mk(255)) == 3
+    assert selector_code(mk(65535)) == 4
+    assert selector_code(mk(2**31)) == 5
+
+
+def test_multi_dint_kernel_roundtrip_and_widths():
+    from dint_spark.codecs.dint import MultiDintCodec, NUM_SELECTORS
+
+    rng = np.random.default_rng(11)
+    dicts = []
+    for s in range(NUM_SELECTORS):
+        hi = max(2, 2 ** (2**s) - 1) if s else 2
+        ps = [list(rng.integers(0, hi, size=sz)) for sz in (16, 8, 4, 2) for _ in range(6)]
+        ps += [[int(x)] for x in rng.integers(0, hi, size=30)]
+        dicts.append(DintDict.from_patterns([np.array(p, np.uint32) for p in ps]))
+    mc = MultiDintCodec(dicts)
+    ctrls = set()
+    for t in range(40):
+        n = int(rng.integers(1, 600))
+        vals = rng.integers(0, 2 ** int(rng.integers(1, 22)), size=n).astype(np.uint32)
+        if n > 60:
+            vals[10:40] = 0
+        e = mc.encode(vals)
+        assert np.array_equal(mc.decode(e, n), vals), (t, n)
+        if n >= 256:
+            ctrls.add(e[0])
+    assert len(ctrls) > 1  # tournament actually switches dictionaries/widths
+    # 8-bit width wins when every needed codeword is < 256
+    small = [DintDict.from_patterns([np.array([i], np.uint32) for i in range(40)])] * 6
+    mcs = MultiDintCodec(small)
+    v = rng.integers(0, 40, size=256).astype(np.uint32)
+    e = mcs.encode(v)
+    assert e[0] >= 6 and len(e) == 1 + 256  # control byte + 1 byte/int
+    assert np.array_equal(mcs.decode(e, 256), v)
+
+
+def test_dint_tail_fallback_interpolative():
+    """Registry index codecs interpolate partial blocks (dint_codecs.hpp:
+    161-164): shorter payload than codeword streams on short sorted-gap
+    tails, still exact."""
+    rng = np.random.default_rng(13)
+    c = _codec([[1, 2], [3]])
+    from dint_spark.codecs.dint import DintCodec
+
+    cf = DintCodec(c.dict, "optimal", tail_fallback=True)
+    for n in (1, 2, 17, 100, 255):
+        vals = rng.integers(0, 50, size=n).astype(np.uint32)
+        enc = cf.encode(vals)
+        assert np.array_equal(cf.decode(enc, n), vals), n
+    # full blocks still use the codeword stream
+    v256 = rng.integers(0, 50, size=256).astype(np.uint32)
+    assert np.array_equal(cf.decode(cf.encode(v256), 256), v256)
+
+
+@pytest.mark.usefixtures("spark")
+def test_multi_learned_model_roundtrip(spark, random_postings):
+    from dint_spark.build.blocks import build_block_index, decode_block_index, index_stats
+    from dint_spark.build.dint_build import (
+        MultiDintModel,
+        learn_dint_model,
+        learn_multi_dint_model,
+    )
+    from dint_spark.codecs.registry import get_codec
+
+    model = learn_multi_dint_model(random_postings, capacity=4096)
+    assert sum(len(d) for d in model.docs) > 0
+
+    codec = get_codec("multi_packed_dint", model)
+    idx = build_block_index(random_postings, codec).cache()
+    decoded = decode_block_index(idx, codec)
+    assert decoded.exceptAll(random_postings).count() == 0
+    assert random_postings.exceptAll(decoded).count() == 0
+
+    # the 12-way tournament (6 dicts × 2 widths) never loses materially
+    # to the single dictionary on the same corpus (ref target: 4.766 vs
+    # 5.939 docs-bpi on test_collection, README.md:112-114)
+    smodel = learn_dint_model(random_postings, capacity=4096)
+    scodec = get_codec("single_packed_dint", smodel)
+    s_multi = index_stats(idx).first()
+    s_single = index_stats(build_block_index(random_postings, scodec)).first()
+    assert s_multi["docs_bpi"] <= s_single["docs_bpi"] * 1.01
+    assert s_multi["freqs_bpi"] <= s_single["freqs_bpi"] * 1.01
+
+    # save/load parity
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        model.save(spark, f"{td}/mmodel")
+        m2 = MultiDintModel.load(spark, f"{td}/mmodel")
+        c2 = get_codec("multi_packed_dint", m2)
+        vals = np.array(list(range(200)) + [0] * 56, dtype=np.uint32)
+        assert np.array_equal(
+            c2.docs.decode(codec.docs.encode(vals), len(vals)), vals
+        )
