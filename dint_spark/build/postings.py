@@ -66,13 +66,14 @@ def build_postings_raw(tokens: DataFrame) -> DataFrame:
     return tokens.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
 
 
-def build_vocab(postings_raw: DataFrame, scalable: bool = False) -> DataFrame:
+def build_vocab(postings_raw: DataFrame, scalable: bool = True) -> DataFrame:
     """vocab(term, term_id, df); term_id = lexicographic dense rank.
 
-    scalable=True uses the two-level prefix-sum assigner (docids.dense_ids);
-    False uses a plain window rank (exact same ids, fine up to ~10^8 terms
-    — vocabularies are far smaller than corpora, so the window is usually
-    acceptable; flip on for extreme vocab).
+    scalable=True (the DEFAULT — a code corpus has O(N) distinct
+    identifiers, so the global window is a single-partition sort at
+    scale) uses the two-level prefix-sum assigner (docids.dense_ids);
+    False uses a plain window rank — exact same ids, kept for
+    small-fixture debugging.
     """
     df_per_term = postings_raw.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     if scalable:

@@ -88,18 +88,17 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     rank. Position-weighted so permuted documents get different prints
     (unlike bag-of-words hashes); pure shuffle-light aggregation.
     """
-    from pyspark.sql import Window as W
+    from dint_spark.build.docids import dense_ids
 
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
     ).filter(F.col("term") != "")
-    vocab = (
-        toks.select("term")
-        .distinct()
-        .withColumn("term_id", (F.row_number().over(W.orderBy("term")) - 1).cast("long"))
-    )
-    t = toks.join(F.broadcast(vocab), "term")
+    # dense_ids: same lexicographic ids as a global row_number window,
+    # without the single-partition sort (a code corpus has O(N) distinct
+    # identifiers at scale). No broadcast hint — vocab is data-sized.
+    vocab = dense_ids(toks.select("term").distinct(), ["term"], "term_id")
+    t = toks.join(vocab, "term")
     return t.groupBy("doc_id").agg(
         (F.sum((F.col("pos") + 1) * F.col("term_id")) % F.lit(FP_MOD)).alias("fp")
     )

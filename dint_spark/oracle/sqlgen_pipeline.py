@@ -15,9 +15,13 @@ from dint_spark.operators.dedup import (
     HASH_B,
     MINHASH_P,
     ROWS_PER_BAND,
+    SIM_BAND_BITS,
+    SIM_BANDS,
+    SIMHASH_ADD2,
     SIMHASH_BITS,
     SIMHASH_MOD,
     SIMHASH_MULT,
+    SIMHASH_MULT2,
 )
 from dint_spark.operators.similarity import (
     DEFAULT_QUERY_IDS,
@@ -120,10 +124,12 @@ WHERE j.jaccard >= 0.5
 """
 
 _simhash_sums = ",\n         ".join(
-    f"sum(tf * (((h // {2 ** b}) % 2) * 2 - 1)) AS b{b}" for b in range(SIMHASH_BITS)
+    f"sum(tf * ((({'h1' if b < 32 else 'h2'} // {2 ** (b % 32)}) % 2) * 2 - 1)) AS b{b}"
+    for b in range(SIMHASH_BITS)
 )
 _simhash_sig = " + ".join(
-    f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    f"(CASE WHEN b{b} > 0 THEN {(1 << b) if b < 63 else -(1 << 63)} ELSE 0 END)"
+    for b in range(SIMHASH_BITS)
 )
 
 _SIMHASH_SIG = _TOK + f""",
@@ -133,7 +139,9 @@ vocab AS (
   FROM (SELECT DISTINCT term FROM post)
 ),
 ph AS (
-  SELECT p.doc_id, p.tf, (v.term_id * {SIMHASH_MULT}) % {SIMHASH_MOD} AS h
+  SELECT p.doc_id, p.tf,
+         (v.term_id * {SIMHASH_MULT}) % {SIMHASH_MOD} AS h1,
+         (v.term_id * {SIMHASH_MULT2} + {SIMHASH_ADD2}) % {SIMHASH_MOD} AS h2
   FROM post p JOIN vocab v USING (term)
 ),
 sums AS (
@@ -150,12 +158,14 @@ DD_SIMHASH = _SIMHASH_SIG + """
 SELECT doc_id, simhash FROM sig
 """
 
+_band_mask = (1 << SIM_BAND_BITS) - 1
 _sim_band_union = "\n  UNION\n".join(
     f"  SELECT a.doc_id AS doc_a, a.simhash AS sig_a, b.doc_id AS doc_b, "
     f"b.simhash AS sig_b FROM sig a JOIN sig b ON "
-    f"((a.simhash // {16 ** b}) % 16) = ((b.simhash // {16 ** b}) % 16) "
+    f"((a.simhash >> {SIM_BAND_BITS * b}) & {_band_mask}) = "
+    f"((b.simhash >> {SIM_BAND_BITS * b}) & {_band_mask}) "
     f"AND a.doc_id < b.doc_id"
-    for b in range(4)
+    for b in range(SIM_BANDS)
 )
 
 DD_SIMHASH_PAIRS = _SIMHASH_SIG + f""",
@@ -179,10 +189,39 @@ WITH ev AS (
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id)
 """
 
-DD_EMBED_DUPS = _EV + """,
+# bucket CTE fragment shared by DD_EMBED_DUPS and SIM_ANN_LSH — the
+# operator is LSH-bucketed (only within-bucket pairs compared), and the
+# planes are fixed literals, so the oracle reproduces it exactly.
+_BUCKETS = """
+planes AS (SELECT * FROM (VALUES {rows}) AS p(j)),
+proj AS (
+  SELECT ev.vec_id, p.j,
+         sum(ev.x * ((({mult} * (p.j * {dim} + (ev.d - 1)) + {add})
+             % {mod}) - {shift})) AS s
+  FROM ev CROSS JOIN planes p
+  GROUP BY ev.vec_id, p.j
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY vec_id
+)
+"""
+
+DD_EMBED_DUPS = _EV + "," + _BUCKETS.format(
+    rows=", ".join(f"({j})" for j in range(NUM_PLANES)),
+    mult=PLANE_MULT,
+    dim=DIM,
+    add=PLANE_ADD,
+    mod=PLANE_MOD,
+    shift=PLANE_SHIFT,
+) + """,
 dots AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
-  FROM ev a JOIN ev b ON a.d = b.d AND a.vec_id < b.vec_id
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(av.x * bv.x) AS dot
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN ev av ON av.vec_id = a.vec_id
+  JOIN ev bv ON bv.vec_id = b.vec_id AND bv.d = av.d
   GROUP BY 1, 2
 )
 SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine

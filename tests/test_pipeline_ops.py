@@ -71,15 +71,20 @@ def test_simhash(dup_docs):
 
     sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(dup_docs).collect()}
     assert sig[0] == sig[1] == sig[5]  # identical docs → identical signature
-    assert 0 <= sig[0] < 2**16
+    assert -(2**63) <= sig[0] < 2**63  # 64-bit two's-complement signature
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in simhash_pairs(dup_docs, radius=16).collect()
+        for r in simhash_pairs(dup_docs, radius=3).collect()
     }
     assert pairs.get((0, 1)) == 0
     # near-dup closer than unrelated doc
     if (0, 2) in pairs and (0, 3) in pairs:
         assert pairs[(0, 2)] <= pairs[(0, 3)]
+    # radius ≥ bands is lossy by pigeonhole → must refuse, not drop pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_pairs(dup_docs, radius=4)
 
 
 def test_cosine_topk_and_ann(spark):
@@ -137,3 +142,64 @@ def test_multimodal_plumbing(dup_docs):
     assert len(frames) == 6  # each doc < 1 chunk → 1 frame row each
     with pytest.raises(NotImplementedError):
         decode_image(media)
+
+
+def test_embed_dups_bucketed_subset_of_exact(spark):
+    """The LSH-bucketed operator must emit a SUBSET of the exact all-pairs
+    truth (same cosine values), with recall measured, not assumed."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(80, 64))
+    for i in range(0, 20, 2):  # planted near-dups
+        vecs[i + 1] = vecs[i] + rng.normal(scale=0.05, size=64)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+
+    from dint_spark.operators.dedup import embedding_dup_pairs, embedding_dup_pairs_exact
+
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in embedding_dup_pairs(emb, 0.8).collect()}
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_dup_pairs_exact(emb, 0.8).collect()
+    }
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 1e-9
+    # planted twins are near-identical → same LSH bucket → found
+    recall = len(got) / max(len(exact), 1)
+    assert len(exact) >= 10 and recall >= 0.8, (len(got), len(exact))
+
+
+def test_minhash_lsh_no_full_selfjoin(dup_docs):
+    """The LSH operator must compute Jaccard only through the candidate
+    set: every shingle-keyed join in the optimized plan also carries a
+    doc key (the ground-truth operator's single-key shingle self-join
+    must NOT appear)."""
+    from dint_spark.operators.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(dup_docs, n=3, threshold=0.5)
+    plan = df._jdf.queryExecution().optimizedPlan()
+
+    def joins(node, out):
+        if node.nodeName() == "Join":
+            cond = node.condition()
+            out.append(
+                (
+                    cond.get().toString() if cond.isDefined() else "",
+                    node.left().output().mkString(","),
+                    node.right().output().mkString(","),
+                )
+            )
+        kids = node.children()
+        for i in range(kids.size()):
+            joins(kids.apply(i), out)
+
+    found = []
+    joins(plan, found)
+    # a shingle-keyed join with doc columns on BOTH sides is the O(n²)
+    # shingle self-join of the ground-truth operator; the only legal
+    # shingle-only join is the shingle→shingle_id lookup (doc-free side)
+    for cond, lout, rout in found:
+        if "shingle" in cond and "doc" not in cond:
+            assert not ("doc_" in lout and "doc_" in rout), (cond, lout, rout)
