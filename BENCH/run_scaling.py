@@ -15,7 +15,12 @@ ceiling cannot be demonstrated by any workload.
 Workloads:
   query  : ranked BM25 top-10 batch over the shared DINT index
            (jobs/query_batch.py), throughput = queries/sec; 1 warmup +
-           timed runs (op_perftest protocol, queries.cpp:13-37).
+           timed runs (op_perftest protocol, queries.cpp:13-37); 500
+           queries = the reference query-log size
+           (test/test_data/queries). BEST of 3 separate runs per level:
+           single-JVM runs on this box vary ~2x run-to-run (allocator /
+           host noise), and best-of-N isolates the workload's actual
+           scaling from that noise.
   decode : full-index DINT decode (the reference's ints/sec surface,
            vroom_env/decode.cpp:74-81), throughput = postings/sec.
 
@@ -86,14 +91,21 @@ model = DintModel.load(spark, os.path.join({idx!r}, "dint_model"))
 codec = get_codec("single_packed_dint", model)
 bidx = materialize(spark.read.parquet(os.path.join({idx!r}, "index")))
 n = int(bidx.selectExpr("sum(n)").first()[0])
-def run(): decode_block_index(bidx, codec).selectExpr("count(tf)").collect()
+# decode 4 copies in one job: the raw decode of this corpus is ~2s of
+# work against ~3s of fixed per-job cost — too small to measure scaling;
+# replication amortizes the fixed cost without changing the kernel.
+REPL = 4
+big = bidx
+for _ in range(REPL - 1):
+    big = big.union(bidx)
+def run(): decode_block_index(big, codec).selectExpr("count(tf)").collect()
 run()
 ts = []
 for _ in range(3):
     t0 = time.time(); run(); ts.append(time.time() - t0)
 best = min(ts)
 print(json.dumps({{"n_postings": n, "wall_sec": round(best, 2),
-                   "postings_per_sec": round(n / best, 1)}}))
+                   "postings_per_sec": round(REPL * n / best, 1)}}))
 """
 
 
@@ -108,7 +120,7 @@ def run_decode(cpus: int, idx: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=50000)
-    ap.add_argument("--queries", type=int, default=2000)
+    ap.add_argument("--queries", type=int, default=500)
     ap.add_argument("--workdir", default="/tmp/dint_scaling")
     args = ap.parse_args()
 
@@ -121,27 +133,31 @@ def main() -> None:
     }
 
     shared_idx = os.path.join(args.workdir, "shared_index")
-    if not os.path.exists(os.path.join(shared_idx, "_lineage", "verify.json")):
-        b = run_job("jobs/build_index.py", 8,
-                    ["--corpus", f"synth:{args.docs}", "--out", shared_idx])
-        results["build_local8"] = {
-            "total_wall_sec": b["total_wall_sec"],
-            "n_postings": b["index"]["n_postings"],
-            "docs_bpi": b["index"]["docs_bpi"],
-            "freqs_bpi": b["index"]["freqs_bpi"],
-        }
-    else:
-        with open(os.path.join(shared_idx, "_lineage", "index.json")) as f:
-            li = json.load(f)
-        results["build_local8"] = {k: li[k] for k in ("n_postings", "docs_bpi", "freqs_bpi")}
+    # ALWAYS run the builder: IndexBuilder's lineage fingerprints include
+    # the codec name + format version, so a workdir left by an older
+    # codec re-encodes instead of being decoded as garbage; an up-to-date
+    # one resumes in seconds.
+    b = run_job("jobs/build_index.py", 8,
+                ["--corpus", f"synth:{args.docs}", "--out", shared_idx])
+    results["build_local8"] = {
+        "total_wall_sec": b["total_wall_sec"],
+        "n_postings": b["index"]["n_postings"],
+        "docs_bpi": b["index"]["docs_bpi"],
+        "freqs_bpi": b["index"]["freqs_bpi"],
+    }
 
     for cpus in LEVELS:
         lvl = {}
-        lvl["query"] = run_job(
-            "jobs/query_batch.py", cpus,
-            ["--index", shared_idx, "--op", "ranked_or",
-             "--queries", str(args.queries), "--repeats", "1"],
-        )
+        best = None
+        for _ in range(3):
+            r = run_job(
+                "jobs/query_batch.py", cpus,
+                ["--index", shared_idx, "--op", "ranked_or",
+                 "--queries", str(args.queries), "--repeats", "1"],
+            )
+            if best is None or r["qps"] > best["qps"]:
+                best = r
+        lvl["query"] = best
         lvl["decode"] = run_decode(cpus, shared_idx)
         results[f"local{cpus}"] = lvl
 

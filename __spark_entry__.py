@@ -144,6 +144,10 @@ def q_ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         [
             "block_vbyte",
+            "block_simple16",
+            "block_streamvbyte",
+            "block_varintgb",
+            "gamma",
             "ef",
             "block_interpolative",
             "single_packed_dint",

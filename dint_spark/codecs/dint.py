@@ -164,41 +164,52 @@ def _optimal_ops(
     """
     n = v.size
     INF = 1 << 30
-    cost = np.full(n + 1, INF, dtype=np.int64)
+    # plain Python lists throughout the hot loop: per-element numpy
+    # scalar indexing costs ~100ns each and dominates a 256-iteration DP
+    vl = v.tolist()
+    zl = zrun.tolist()
+    cwl = []
+    for s in sorted(cw, reverse=True):
+        arr = cw[s]
+        if cw_limit is not None:
+            arr = np.where(arr < cw_limit, arr, np.int32(-1))
+        cwl.append((s, arr.tolist()))
+    runs = [(size, RUN_CODES[size]) for size in _RUN_ORDER]
+    cost = [INF] * (n + 1)
     cost[n] = 0
-    nxt = np.zeros(n + 1, dtype=np.int64)
-    code = np.zeros(n + 1, dtype=np.int64)
+    nxt = [0] * (n + 1)
+    code = [0] * (n + 1)
     for i in range(n - 1, -1, -1):
         # exception edge (always available)
-        x = int(v[i])
-        if x < 65536:
+        if vl[i] < 65536:
             best, bn, bc = 2 + cost[i + 1], i + 1, -16
         else:
             best, bn, bc = 3 + cost[i + 1], i + 1, -32
         # pattern edges
-        for s, arr in cw.items():
-            if i + s <= n:
-                w = int(arr[i])
-                if w >= 0 and (cw_limit is None or w < cw_limit):
-                    c = 1 + cost[i + s]
+        for s, arr in cwl:
+            j = i + s
+            if j <= n:
+                w = arr[i]
+                if w >= 0:
+                    c = 1 + cost[j]
                     if c < best:
-                        best, bn, bc = c, i + s, w
+                        best, bn, bc = c, j, w
         # zero-run edges
-        z = int(zrun[i])
+        z = zl[i]
         if z >= 16:
-            for size in _RUN_ORDER:
+            for size, rc in runs:
                 if z >= size:
                     c = 1 + cost[i + size]
                     if c < best:
-                        best, bn, bc = c, i + size, RUN_CODES[size]
+                        best, bn, bc = c, i + size, rc
         cost[i] = best
         nxt[i] = bn
         code[i] = bc
     ops: list[tuple[int, int, int]] = []
     i = 0
     while i < n:
-        j = int(nxt[i])
-        ops.append((i, j, int(code[i])))
+        j = nxt[i]
+        ops.append((i, j, code[i]))
         i = j
     return ops
 

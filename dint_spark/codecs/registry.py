@@ -106,6 +106,36 @@ def get_codec(name: str, dint_model=None):
         return SymmetricCodec("ef", _ef_encode, _ef_decode)
     if name in ("block_interpolative", "interpolative"):
         return _interp()
+    if name == "block_simple16":
+        from dint_spark.codecs import simple16
+
+        return SymmetricCodec("block_simple16", simple16.encode, simple16.decode)
+    if name == "block_streamvbyte":
+        from dint_spark.codecs import varintfam
+
+        return SymmetricCodec(
+            "block_streamvbyte",
+            varintfam.streamvbyte_encode,
+            varintfam.streamvbyte_decode,
+        )
+    if name == "block_varintgb":
+        from dint_spark.codecs import varintfam
+
+        return SymmetricCodec(
+            "block_varintgb", varintfam.varintgb_encode, varintfam.varintgb_decode
+        )
+    if name in ("gamma", "elias_gamma"):
+        from dint_spark.codecs import elias_gamma_delta as egd
+
+        return SymmetricCodec("gamma", egd.gamma_encode, egd.gamma_decode)
+    if name in ("delta", "elias_delta"):
+        from dint_spark.codecs import elias_gamma_delta as egd
+
+        return SymmetricCodec("delta", egd.delta_encode, egd.delta_decode)
+    if name == "block_maskedvbyte":
+        # MaskedVByte's WIRE FORMAT is plain VByte — the mask trick is a
+        # SIMD decode path, not a format (Plaisance/Kurz/Lemire 2015).
+        return SymmetricCodec("block_maskedvbyte", vbyte.encode, vbyte.decode)
     if name in (
         "single_packed_dint",
         "dint",

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 DIM = 64
-NUM_PLANES = 8
+NUM_PLANES = 8  # default: 256 buckets — sized for the sf0.01..0.1 gate
+# corpora; at 10^12 vectors pass num_planes≈log2(N/target_bucket_size)
+# (e.g. 30 planes → ~10^9 buckets of ~1k vectors). The planes are a
+# deterministic function of (plane index, dimension) alone, so ANY
+# num_planes stays oracle-reproducible.
 # Deterministic integer "hyperplanes": component (j, d) =
 # ((1103515245·(j·DIM+d) + 12345) mod 2000001) − 1000000  ∈ [−1e6, 1e6]
 PLANE_MULT = 1103515245
@@ -70,14 +74,16 @@ def cosine_topk(
     )
 
 
-def lsh_bucket(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, bucket) — 8-bit random-hyperplane signature.
+def lsh_bucket(embeddings: DataFrame, num_planes: int = NUM_PLANES) -> DataFrame:
+    """(vec_id, bucket) — num_planes-bit random-hyperplane signature.
 
     sign bit j = 1 iff Σ_d v[d]·plane(j,d) > 0. Native expressions only.
     """
+    if not 1 <= num_planes <= 62:
+        raise ValueError(f"num_planes must be in [1, 62], got {num_planes}")
     e = _as_double(embeddings)
     bucket = F.lit(0).cast("long")
-    for j in range(NUM_PLANES):
+    for j in range(num_planes):
         comps = F.expr(
             "aggregate(zip_with(v, sequence(0, {dmax}), (x, d) -> "
             "x * (((CAST({m} AS BIGINT) * ({j} * {dim} + d) + {a}) % {mod}) - {sh})), "
@@ -96,7 +102,10 @@ def lsh_bucket(embeddings: DataFrame) -> DataFrame:
 
 
 def ann_lsh_topk(
-    embeddings: DataFrame, query_ids: list[int] | None = None, k: int = 10
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    num_planes: int = NUM_PLANES,
 ) -> DataFrame:
     """(query_vec, vec_id, cosine, rank) — approximate top-k within the
     query's LSH bucket (bucket equi-join = the 10^12-vector plan shape).
@@ -106,7 +115,7 @@ def ann_lsh_topk(
     """
     if query_ids is None:
         query_ids = DEFAULT_QUERY_IDS
-    b = lsh_bucket(embeddings)
+    b = lsh_bucket(embeddings, num_planes)
     q = b.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_vec"), F.col("bucket"), F.col("v").alias("qv")
     )

@@ -40,6 +40,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Start wide, let AQE coalesce: shuffle_partitions==cpus is right
+        # for the many tiny exchanges of the query plans, but data-heavy
+        # stages (multi-million-row window sorts) need more splits than
+        # cores — a 2000-query scored-set sort measured 170s -> 104s at
+        # local[8] with 64 initial partitions. AQE shrinks small stages
+        # back, so tiny exchanges pay only planning overhead.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * cpus),
+        )
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -77,3 +77,32 @@ def test_registry_gap_codecs_roundtrip():
     for name in ("ef", "block_interpolative", "block_vbyte", "block_u32"):
         c = get_codec(name)
         assert np.array_equal(c.decode_docs(c.encode_docs(gaps), 200), gaps), name
+
+
+@pytest.mark.parametrize("name", ["block_simple16", "block_streamvbyte", "block_varintgb", "block_maskedvbyte"])
+def test_new_block_codecs_roundtrip(name):
+    rng = np.random.default_rng(17)
+    c = get_codec(name)
+    for t in range(30):
+        n = int(rng.integers(0, 300))
+        mag = 27 if name == "block_simple16" else 32
+        v = rng.integers(0, 2 ** int(rng.integers(1, mag + 1)), size=n).astype(np.uint32)
+        assert np.array_equal(c.decode_docs(c.encode_docs(v), n), v), (name, t, n)
+
+
+def test_simple16_rejects_29bit():
+    c = get_codec("block_simple16")
+    with pytest.raises(ValueError):
+        c.encode_docs(np.array([1 << 28], dtype=np.uint32))
+
+
+@pytest.mark.parametrize("name", ["gamma", "delta"])
+def test_elias_gamma_delta_roundtrip(name):
+    rng = np.random.default_rng(23)
+    c = get_codec(name)
+    for t in range(30):
+        n = int(rng.integers(0, 300))
+        v = rng.integers(0, 2 ** int(rng.integers(1, 32)), size=n).astype(np.uint32)
+        assert np.array_equal(c.decode_docs(c.encode_docs(v), n), v), (name, t)
+    # canonical: γ(1) = '1' → value 0 encodes to the single bit 1
+    assert c.encode_docs(np.array([0], dtype=np.uint32))[0] & 0x80
