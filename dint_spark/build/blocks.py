@@ -286,9 +286,9 @@ def decode_block_index(
         ["term_id long, doc_id long, tf long"]
         + [f"{n} {t}" for n, t in extra_cols]
     )
+    base_cols = ["term_id", "block_id", "n", "block_base", "docs_bytes", "freqs_bytes"]
     return index.select(
-        "term_id", "block_id", "n", "block_base", "docs_bytes", "freqs_bytes",
-        *extra_names,
+        *base_cols, *[c for c in extra_names if c not in base_cols]
     ).mapInPandas(decode_blocks, schema=schema)
 
 
@@ -303,4 +303,42 @@ def index_stats(index: DataFrame) -> DataFrame:
         F.round(F.sum(F.octet_length("freqs_bytes")) * 8.0 / F.sum("n"), 4).alias(
             "freqs_bpi"
         ),
+    )
+
+
+def posting_at(index: DataFrame, codec, positions: DataFrame) -> DataFrame:
+    """Positional access — the enumerator's move(pos) (E4;
+    /root/reference/include/dint/dict_posting_list.hpp:120-138): for each
+    requested (term_id, pos) return the pos-th posting (0-based, docID
+    order) of that term's list.
+
+    Relational realization: per-term cumulative block offsets (metadata-
+    sized lag window) locate the ONE block holding each pos; only those
+    blocks are decoded (block_id rides through the decode kernel); the
+    intra-block ordinal picks the posting. The request batch is broadcast
+    (lookups are query-sized, never data-sized).
+    """
+    meta = index.select("term_id", "block_id", "n")
+    w = (
+        W.partitionBy("term_id")
+        .orderBy("block_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    meta = meta.withColumn("start", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    hits = meta.join(F.broadcast(positions), "term_id").filter(
+        (F.col("pos") >= F.col("start")) & (F.col("pos") < F.col("start") + F.col("n"))
+    )
+    blocks = index.join(
+        hits.select("term_id", "block_id").distinct(), ["term_id", "block_id"], "left_semi"
+    )
+    dec = decode_block_index(blocks, codec, extra_cols=(("block_id", "long"),))
+    bw = W.partitionBy("term_id", "block_id").orderBy("doc_id")  # ≤ block_size rows
+    dec = dec.withColumn("_br", F.row_number().over(bw) - 1)
+    return (
+        dec.join(
+            F.broadcast(hits.select("term_id", "block_id", "start", "pos")),
+            ["term_id", "block_id"],
+        )
+        .filter(F.col("pos") == F.col("start") + F.col("_br"))
+        .select("term_id", "pos", "doc_id", "tf")
     )

@@ -85,3 +85,52 @@ def codeword_histogram(
         kernel, schema="stream string, kind string, count long"
     )
     return local.groupBy("stream", "kind").agg(F.sum("count").alias("count"))
+
+
+def block_profile(index: DataFrame, docs_dict: DintDict, freqs_dict: DintDict) -> DataFrame:
+    """Per-block codeword profile — the block_profiler surface (B12;
+    /root/reference/vroom_env: per-block parse introspection): one row
+    per (term_id, block_id, stream) with payload bytes and counts of
+    pattern / exception / run codewords. Tail blocks (interpolative
+    payload) report kind counts as NULL with bytes only."""
+    spark = index.sparkSession
+    bc = spark.sparkContext.broadcast((docs_dict.sizes, freqs_dict.sizes))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dsz, fsz = bc.value
+        rows = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                for stream, buf, sizes in (
+                    ("docs", r.docs_bytes, dsz),
+                    ("freqs", r.freqs_bytes, fsz),
+                ):
+                    if r.n < DINT_BLOCK_SIZE:
+                        rows.append(
+                            (r.term_id, r.block_id, stream, int(r.n), len(buf),
+                             None, None, None)
+                        )
+                        continue
+                    h = _classify(np.frombuffer(buf, dtype=np.uint16), sizes)
+                    rows.append(
+                        (
+                            r.term_id, r.block_id, stream, int(r.n), len(buf),
+                            sum(v for k, v in h.items() if k.startswith("pattern")),
+                            sum(v for k, v in h.items() if k.startswith("exception")),
+                            sum(v for k, v in h.items() if k.startswith("run")),
+                        )
+                    )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "term_id", "block_id", "stream", "n", "bytes",
+                    "patterns", "exceptions", "runs",
+                ],
+            )
+
+    return index.select("term_id", "block_id", "n", "docs_bytes", "freqs_bytes").mapInPandas(
+        kernel,
+        schema="term_id long, block_id long, stream string, n long, bytes long, "
+        "patterns long, exceptions long, runs long",
+    )

@@ -60,3 +60,56 @@ def test_index_stats(random_postings):
     # dense gap-1 values are tiny → vbyte ≈ 8 bits/int for docs
     assert 7.9 <= s["docs_bpi"] <= 9.0
     assert 7.9 <= s["freqs_bpi"] <= 16.5
+
+
+def test_posting_at_positional_access(spark, random_postings):
+    """move(pos) semantics (E4, dict_posting_list.hpp:120-138): the
+    pos-th posting in docID order, only its block decoded."""
+    from dint_spark.build.blocks import build_block_index, posting_at
+    from dint_spark.codecs.registry import get_codec
+
+    c = get_codec("block_vbyte")
+    bidx = build_block_index(random_postings, c).cache()
+    truth = {}
+    for r in random_postings.collect():
+        truth.setdefault(r["term_id"], []).append((r["doc_id"], r["tf"]))
+    for t in truth:
+        truth[t].sort()
+    req = [(0, 0), (0, 255), (0, 256), (1, 1), (2, 300)]
+    req = [(t, p) for t, p in req if p < len(truth.get(t, []))]
+    req_df = spark.createDataFrame(req, "term_id long, pos long")
+    got = {
+        (r["term_id"], r["pos"]): (r["doc_id"], r["tf"])
+        for r in posting_at(bidx, c, req_df).collect()
+    }
+    assert len(got) == len(req)
+    for (t, p), v in got.items():
+        assert truth[t][p] == v, (t, p)
+    # out-of-range pos yields no row, never a wrong one
+    oob = spark.createDataFrame([(0, 10**9)], "term_id long, pos long")
+    assert posting_at(bidx, c, oob).count() == 0
+
+
+def test_block_profile(spark, random_postings):
+    """block_profiler surface (B12): per-(block, stream) codeword
+    accounting consistent with the whole-index histogram."""
+    from dint_spark.build.blocks import build_block_index
+    from dint_spark.build.dint_build import learn_dint_model
+    from dint_spark.codecs.registry import get_codec
+    from dint_spark.codecs.stats import block_profile
+
+    model = learn_dint_model(random_postings, capacity=2048)
+    codec = get_codec("single_packed_dint", model)
+    bidx = build_block_index(random_postings, codec).cache()
+    prof = block_profile(bidx, codec.docs.dict, codec.freqs.dict)
+    rows = prof.collect()
+    n_blocks = bidx.count()
+    assert len(rows) == 2 * n_blocks  # one row per (block, stream)
+    full = [r for r in rows if r["n"] == 256]
+    assert full and all(
+        (r["patterns"] or 0) + (r["exceptions"] or 0) + (r["runs"] or 0) > 0
+        for r in full
+    )
+    tails = [r for r in rows if r["n"] < 256]
+    assert all(r["patterns"] is None for r in tails)  # interpolative payloads
+    assert all(r["bytes"] > 0 for r in rows)
