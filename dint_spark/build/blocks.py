@@ -265,22 +265,39 @@ def decode_block_index(
 
     def decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = codec_bc.value
+        batched = hasattr(c, "decode_docs_batch")
         for pdf in batches:
-            outs = []
-            for r in pdf.itertuples(index=False):
-                gaps = c.decode_docs(r.docs_bytes, r.n).astype(np.int64)
-                docs = np.cumsum(gaps + 1) + r.block_base
-                tfs = c.decode_freqs(r.freqs_bytes, r.n).astype(np.int64) + 1
-                cols = {
-                    "term_id": np.full(r.n, r.term_id, dtype=np.int64),
-                    "doc_id": docs,
-                    "tf": tfs,
-                }
-                for name in extra_names:
-                    cols[name] = np.full(r.n, getattr(r, name))
-                outs.append(pd.DataFrame(cols))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            if not len(pdf):
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            bases = pdf["block_base"].to_numpy(dtype=np.int64)
+            dbufs = list(pdf["docs_bytes"])
+            fbufs = list(pdf["freqs_bytes"])
+            if batched:
+                gaps_flat, offs = c.decode_docs_batch(dbufs, ns)
+                tfs_flat, _ = c.decode_freqs_batch(fbufs, ns)
+            else:
+                gaps_flat = np.concatenate(
+                    [c.decode_docs(b, int(n)) for b, n in zip(dbufs, ns)]
+                ) if len(dbufs) else np.empty(0, dtype=np.uint32)
+                tfs_flat = np.concatenate(
+                    [c.decode_freqs(b, int(n)) for b, n in zip(fbufs, ns)]
+                ) if len(fbufs) else np.empty(0, dtype=np.uint32)
+                offs = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            # segmented prefix-sum un-gap (P5), whole batch at once:
+            # doc[i] = base(block) + Σ_{block-local ≤ i} (gap+1)
+            g = gaps_flat.astype(np.int64) + 1
+            cs = np.cumsum(g)
+            excl = np.where(offs > 0, cs[offs - 1], 0)
+            docs = cs + np.repeat(bases - excl, ns)
+            cols = {
+                "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int64), ns),
+                "doc_id": docs,
+                "tf": tfs_flat.astype(np.int64) + 1,
+            }
+            for name in extra_names:
+                cols[name] = np.repeat(pdf[name].to_numpy(), ns)
+            yield pd.DataFrame(cols)
 
     schema = ", ".join(
         ["term_id long, doc_id long, tf long"]

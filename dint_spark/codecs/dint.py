@@ -395,6 +395,37 @@ class DintCodec:
             return np.asarray(_interp().decode(buf, n), dtype=np.uint32)
         return _decode_words(buf, n, self.dict.matrix, self.dict.sizes)
 
+    def decode_batch(
+        self, bufs: list[bytes], ns: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized lockstep decode of many blocks → (flat, offsets).
+        Full blocks decode in whole-batch numpy lockstep; interpolative
+        tails (short by construction) decode per block."""
+        ns = np.asarray(ns, dtype=np.int64)
+        if self.tail_fallback:
+            full = np.flatnonzero(ns >= DINT_BLOCK_SIZE)
+            tail = np.flatnonzero(ns < DINT_BLOCK_SIZE)
+        else:
+            full = np.arange(len(bufs))
+            tail = np.empty(0, dtype=np.int64)
+        parts = []
+        if full.size:
+            f_flat, _ = _decode_words_lockstep(
+                [bufs[i] for i in full], ns[full], self.dict.matrix, self.dict.sizes
+            )
+            parts.append((full, f_flat, ns[full]))
+        if tail.size:
+            interp = _interp()
+            t_flat = (
+                np.concatenate(
+                    [np.asarray(interp.decode(bufs[i], int(ns[i])), dtype=np.uint32) for i in tail]
+                )
+                if tail.size
+                else np.empty(0, dtype=np.uint32)
+            )
+            parts.append((tail, t_flat, ns[tail]))
+        return _merge_subsets(ns, parts)
+
 
 class MultiDintCodec:
     """multi_packed DINT (opt_dint_multi_dict_block, dint_codecs.hpp:285-509).
@@ -445,6 +476,35 @@ class MultiDintCodec:
         d = self.dicts[ctrl - NUM_SELECTORS]
         return _decode_bytes(buf[1:], n, d.matrix, d.sizes)
 
+    def decode_batch(
+        self, bufs: list[bytes], ns: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lockstep decode grouped by control byte (dictionary × width);
+        interpolative tails per block."""
+        ns = np.asarray(ns, dtype=np.int64)
+        parts = []
+        tail = np.flatnonzero(ns < DINT_BLOCK_SIZE)
+        if tail.size:
+            interp = _interp()
+            t_flat = np.concatenate(
+                [np.asarray(interp.decode(bufs[i], int(ns[i])), dtype=np.uint32) for i in tail]
+            )
+            parts.append((tail, t_flat, ns[tail]))
+        full = np.flatnonzero(ns >= DINT_BLOCK_SIZE)
+        if full.size:
+            ctrls = np.fromiter((bufs[i][0] for i in full), dtype=np.int64, count=full.size)
+            for ctrl in np.unique(ctrls):
+                grp = full[ctrls == ctrl]
+                payloads = [bufs[i][1:] for i in grp]
+                if ctrl < NUM_SELECTORS:
+                    d = self.dicts[int(ctrl)]
+                    g_flat, _ = _decode_words_lockstep(payloads, ns[grp], d.matrix, d.sizes)
+                else:
+                    d = self.dicts[int(ctrl) - NUM_SELECTORS]
+                    g_flat, _ = _decode_bytes_lockstep(payloads, ns[grp], d.matrix, d.sizes)
+                parts.append((grp, g_flat, ns[grp]))
+        return _merge_subsets(ns, parts)
+
 
 def extract_patterns(vals: np.ndarray, counter: dict) -> None:
     """Accumulate aligned sub-patterns of TARGET_SIZES into `counter`.
@@ -481,3 +541,172 @@ def extract_patterns_multi(vals: np.ndarray, counters: list[dict]) -> None:
     if v.size != DINT_BLOCK_SIZE:
         return
     extract_patterns(v, counters[selector_code(v)])
+
+
+def _decode_words_lockstep(
+    bufs: list[bytes], ns: np.ndarray, matrix: np.ndarray, sizes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch decode of MANY u16 codeword streams in vectorized lockstep.
+
+    The per-block decoder walks codewords in a Python loop (~1 µs each —
+    the engine's hottest path: every WAND/MaxScore rescore and the decode
+    bench pay it). Here all blocks advance ONE codeword per iteration
+    with whole-batch numpy ops, so Python-level iterations drop from
+    Σ codewords to max-codewords-per-block (~100 for 256-int blocks).
+
+    Returns (flat uint32 output, int64 offsets per block); block b's
+    values are flat[offsets[b]:offsets[b]+ns[b]].
+    """
+    nb = len(bufs)
+    if nb == 0:
+        return np.empty(0, dtype=np.uint32), np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(b) // 2 for b in bufs), dtype=np.int64, count=nb)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    cws = np.frombuffer(b"".join(bufs), dtype="<u2").astype(np.int64)
+    ns = np.asarray(ns, dtype=np.int64)
+    out_off = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    out = np.zeros(int(ns.sum()), dtype=np.uint32)
+
+    j = np.zeros(nb, dtype=np.int64)  # codeword cursor per block
+    pos = np.zeros(nb, dtype=np.int64)  # output cursor per block
+    active = pos < ns
+    run_sizes = np.zeros(RESERVED, dtype=np.int64)
+    for code, size in RUN_SIZES.items():
+        run_sizes[code] = size
+    while active.any():
+        ai = np.flatnonzero(active)
+        if (j[ai] >= lens[ai]).any():
+            raise ValueError("dint: truncated codeword stream")
+        c = cws[starts[ai] + j[ai]]
+
+        pat = c >= RESERVED
+        if pat.any():
+            pi = ai[pat]
+            k = c[pat] - RESERVED
+            s = sizes[k].astype(np.int64)
+            base = out_off[pi] + pos[pi]
+            for col in range(MAX_PATTERN):
+                m = s > col
+                if not m.any():
+                    break
+                out[base[m] + col] = matrix[k[m], col]
+            pos[pi] += s
+            j[pi] += 1
+
+        e16 = c == EXC16
+        if e16.any():
+            ei = ai[e16]
+            out[out_off[ei] + pos[ei]] = cws[starts[ei] + j[ei] + 1].astype(np.uint32)
+            pos[ei] += 1
+            j[ei] += 2
+
+        e32 = c == EXC32
+        if e32.any():
+            ei = ai[e32]
+            lo = cws[starts[ei] + j[ei] + 1]
+            hi = cws[starts[ei] + j[ei] + 2]
+            out[out_off[ei] + pos[ei]] = (lo | (hi << 16)).astype(np.uint32)
+            pos[ei] += 1
+            j[ei] += 3
+
+        run = (~pat) & (c > EXC32)
+        if run.any():
+            ri = ai[run]
+            pos[ri] += run_sizes[c[run]]  # output pre-zeroed
+            j[ri] += 1
+
+        active = pos < ns
+    if (pos != ns).any():
+        raise ValueError("dint: batch decode length mismatch")
+    return out, out_off
+
+
+def _decode_bytes_lockstep(
+    bufs: list[bytes], ns: np.ndarray, matrix: np.ndarray, sizes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Byte-width twin of _decode_words_lockstep (multi_packed b=8
+    payloads: 1-byte codewords, exceptions carry 2/4 little-endian value
+    bytes)."""
+    nb = len(bufs)
+    if nb == 0:
+        return np.empty(0, dtype=np.uint32), np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=nb)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    raw = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+    ns = np.asarray(ns, dtype=np.int64)
+    out_off = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    out = np.zeros(int(ns.sum()), dtype=np.uint32)
+
+    j = np.zeros(nb, dtype=np.int64)
+    pos = np.zeros(nb, dtype=np.int64)
+    active = pos < ns
+    run_sizes = np.zeros(RESERVED, dtype=np.int64)
+    for code, size in RUN_SIZES.items():
+        run_sizes[code] = size
+    while active.any():
+        ai = np.flatnonzero(active)
+        if (j[ai] >= lens[ai]).any():
+            raise ValueError("dint8: truncated codeword stream")
+        c = raw[starts[ai] + j[ai]]
+
+        pat = c >= RESERVED
+        if pat.any():
+            pi = ai[pat]
+            k = c[pat] - RESERVED
+            s = sizes[k].astype(np.int64)
+            base = out_off[pi] + pos[pi]
+            for col in range(MAX_PATTERN):
+                m = s > col
+                if not m.any():
+                    break
+                out[base[m] + col] = matrix[k[m], col]
+            pos[pi] += s
+            j[pi] += 1
+
+        e16 = c == EXC16
+        if e16.any():
+            ei = ai[e16]
+            p = starts[ei] + j[ei]
+            out[out_off[ei] + pos[ei]] = (raw[p + 1] | (raw[p + 2] << 8)).astype(
+                np.uint32
+            )
+            pos[ei] += 1
+            j[ei] += 3
+
+        e32 = c == EXC32
+        if e32.any():
+            ei = ai[e32]
+            p = starts[ei] + j[ei]
+            out[out_off[ei] + pos[ei]] = (
+                raw[p + 1] | (raw[p + 2] << 8) | (raw[p + 3] << 16) | (raw[p + 4] << 24)
+            ).astype(np.uint32)
+            pos[ei] += 1
+            j[ei] += 5
+
+        run = (~pat) & (c > EXC32)
+        if run.any():
+            ri = ai[run]
+            pos[ri] += run_sizes[c[run]]
+            j[ri] += 1
+
+        active = pos < ns
+    if (pos != ns).any():
+        raise ValueError("dint8: batch decode length mismatch")
+    return out, out_off
+
+
+def _merge_subsets(
+    ns: np.ndarray, parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Assemble per-subset flat outputs into one flat array in original
+    block order. parts: [(block_indices, sub_flat, sub_ns)]."""
+    ns = np.asarray(ns, dtype=np.int64)
+    out_off = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    out = np.empty(int(ns.sum()), dtype=np.uint32)
+    for idxs, sub_flat, sub_ns in parts:
+        if len(idxs) == 0:
+            continue
+        sub_off = np.concatenate(([0], np.cumsum(sub_ns)[:-1]))
+        tgt = np.repeat(out_off[idxs] - sub_off, sub_ns) + np.arange(sub_flat.size)
+        out[tgt] = sub_flat
+    return out, out_off

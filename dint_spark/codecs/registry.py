@@ -55,6 +55,13 @@ class PairCodec:
     def decode_freqs(self, buf, n):
         return self.freqs.decode(buf, n)
 
+    # vectorized many-block decode (build/blocks.py uses it when present)
+    def decode_docs_batch(self, bufs, ns):
+        return self.docs.decode_batch(bufs, ns)
+
+    def decode_freqs_batch(self, bufs, ns):
+        return self.freqs.decode_batch(bufs, ns)
+
 
 def _u32_encode(vals: np.ndarray) -> bytes:
     return np.asarray(vals, dtype=np.uint32).tobytes()

@@ -217,3 +217,33 @@ def test_multi_learned_model_roundtrip(spark, random_postings):
         assert np.array_equal(
             c2.docs.decode(codec.docs.encode(vals), len(vals)), vals
         )
+
+
+def test_decode_batch_matches_per_block():
+    """Lockstep batch decode ≡ per-block decode, exceptions/runs/tails
+    included, for both single- and multi-dict codecs."""
+    from dint_spark.codecs.dint import DintCodec, MultiDintCodec, NUM_SELECTORS
+
+    rng = np.random.default_rng(31)
+    pats = [list(rng.integers(0, 60, size=s)) for s in (16, 8, 4, 2) for _ in range(50)]
+    pats += [[v] for v in range(40)]
+    d = DintDict.from_patterns([np.array(p, np.uint32) for p in pats])
+    single = DintCodec(d, "optimal", tail_fallback=True)
+    multi = MultiDintCodec([d] * NUM_SELECTORS)
+    for codec in (single, multi):
+        blocks = []
+        for t in range(60):
+            n = 256 if t % 3 else int(rng.integers(1, 256))
+            v = rng.integers(0, 200000, size=n).astype(np.uint32)  # many exceptions
+            if t % 2:
+                v = rng.integers(0, 60, size=n).astype(np.uint32)
+            if n > 60:
+                v[10:50] = 0
+            blocks.append(v)
+        encs = [codec.encode(v) for v in blocks]
+        ns = np.array([v.size for v in blocks], dtype=np.int64)
+        flat, offs = codec.decode_batch(encs, ns)
+        for i, v in enumerate(blocks):
+            got = flat[offs[i] : offs[i] + ns[i]]
+            assert np.array_equal(got, v), (type(codec).__name__, i)
+            assert np.array_equal(codec.decode(encs[i], int(ns[i])), v)
