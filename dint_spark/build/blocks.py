@@ -87,8 +87,9 @@ def _block_meta(ranked: DataFrame) -> DataFrame:
 
     Without norm_len, block_max_weight is NULL ("no bound" sentinel): an
     index built that way cannot silently feed WAND's block-max filter
-    with a lossy 0.0 bound — the filter would drop every block and the
-    mismatch surfaces immediately instead of corrupting top-k results.
+    with a lossy 0.0 bound — wand_topk treats NULL as unskippable
+    (keeps the block), degrading to term-level pruning, never to a
+    wrong (or empty) top-k.
     """
     if "norm_len" in ranked.columns:
         max_w = F.max(doc_term_weight(F.col("tf"), F.col("norm_len"))).alias(
@@ -244,7 +245,10 @@ def build_block_index(
 
 
 def decode_block_index(
-    index: DataFrame, codec, extra_cols: tuple[tuple[str, str], ...] = ()
+    index: DataFrame,
+    codec,
+    extra_cols: tuple[tuple[str, str], ...] = (),
+    docs_only: bool = False,
 ) -> DataFrame:
     """Compressed block table → postings(term_id, doc_id, tf[, extras]).
 
@@ -257,6 +261,14 @@ def decode_block_index(
     onto every decoded posting of their block (lets a caller ride per-
     block context, e.g. a query_id, through the decode without a
     re-join; see operators/wand.py).
+
+    docs_only: lazy-freq decode — skip the freqs stream entirely and
+    emit (term_id, doc_id[, extras]) only. The reference's enumerators
+    decode freqs lazily on first freq() access
+    (/root/reference/include/dint/dict_posting_list.hpp:164-169);
+    callers that only gate candidates on docIDs (WAND's phase-1
+    candidate pass) pay half the decode and the scan never reads
+    freqs_bytes (column pruning reaches the cached/parquet block table).
     """
 
     spark = index.sparkSession
@@ -272,18 +284,21 @@ def decode_block_index(
             ns = pdf["n"].to_numpy(dtype=np.int64)
             bases = pdf["block_base"].to_numpy(dtype=np.int64)
             dbufs = list(pdf["docs_bytes"])
-            fbufs = list(pdf["freqs_bytes"])
             if batched:
                 gaps_flat, offs = c.decode_docs_batch(dbufs, ns)
-                tfs_flat, _ = c.decode_freqs_batch(fbufs, ns)
             else:
                 gaps_flat = np.concatenate(
                     [c.decode_docs(b, int(n)) for b, n in zip(dbufs, ns)]
                 ) if len(dbufs) else np.empty(0, dtype=np.uint32)
-                tfs_flat = np.concatenate(
-                    [c.decode_freqs(b, int(n)) for b, n in zip(fbufs, ns)]
-                ) if len(fbufs) else np.empty(0, dtype=np.uint32)
                 offs = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            if not docs_only:
+                fbufs = list(pdf["freqs_bytes"])
+                if batched:
+                    tfs_flat, _ = c.decode_freqs_batch(fbufs, ns)
+                else:
+                    tfs_flat = np.concatenate(
+                        [c.decode_freqs(b, int(n)) for b, n in zip(fbufs, ns)]
+                    ) if len(fbufs) else np.empty(0, dtype=np.uint32)
             # segmented prefix-sum un-gap (P5), whole batch at once:
             # doc[i] = base(block) + Σ_{block-local ≤ i} (gap+1)
             g = gaps_flat.astype(np.int64) + 1
@@ -293,17 +308,20 @@ def decode_block_index(
             cols = {
                 "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int64), ns),
                 "doc_id": docs,
-                "tf": tfs_flat.astype(np.int64) + 1,
             }
+            if not docs_only:
+                cols["tf"] = tfs_flat.astype(np.int64) + 1
             for name in extra_names:
                 cols[name] = np.repeat(pdf[name].to_numpy(), ns)
             yield pd.DataFrame(cols)
 
-    schema = ", ".join(
-        ["term_id long, doc_id long, tf long"]
-        + [f"{n} {t}" for n, t in extra_cols]
-    )
-    base_cols = ["term_id", "block_id", "n", "block_base", "docs_bytes", "freqs_bytes"]
+    out_cols = ["term_id long, doc_id long"]
+    if not docs_only:
+        out_cols = ["term_id long, doc_id long, tf long"]
+    schema = ", ".join(out_cols + [f"{n} {t}" for n, t in extra_cols])
+    base_cols = ["term_id", "block_id", "n", "block_base", "docs_bytes"]
+    if not docs_only:
+        base_cols.append("freqs_bytes")
     return index.select(
         *base_cols, *[c for c in extra_names if c not in base_cols]
     ).mapInPandas(decode_blocks, schema=schema)

@@ -146,10 +146,17 @@ def build_term_meta(
 def build_fulltext_index(
     tokens: DataFrame,
     with_norm_len: bool = True,
-    scalable_vocab: bool = False,
+    scalable_vocab: bool = True,
     cache: bool = True,
 ) -> FullTextIndex:
-    """tokens(doc_id, term) → full relational index."""
+    """tokens(doc_id, term) → full relational index.
+
+    scalable_vocab defaults True (round-2 verdict #3): the production
+    path assigns term_ids with the two-level prefix-sum (no global
+    single-partition window). Both paths produce IDENTICAL ids
+    (tests/test_postings.py asserts it), so query results and oracle
+    hashes are unchanged by the flag.
+    """
     docs = build_docs(tokens)
     if cache:
         docs = materialize(docs)
@@ -161,11 +168,14 @@ def build_fulltext_index(
     if cache:
         vocab = materialize(vocab)
 
-    postings = raw.join(F.broadcast(vocab.select("term", "term_id")), "term")
+    # No broadcast hints: vocab is O(distinct terms) and docs is
+    # O(num_docs) — both data-sized at cluster scale. AQE broadcasts
+    # them when runtime stats say they fit, sort-merges when they don't.
+    postings = raw.join(vocab.select("term", "term_id"), "term")
     if with_norm_len:
         # Denormalized norm_len: the reference's norm_lens[] random access
         # becomes a build-time join instead of a query-time one.
-        postings = postings.join(F.broadcast(docs.select("doc_id", "norm_len")), "doc_id")
+        postings = postings.join(docs.select("doc_id", "norm_len"), "doc_id")
     postings = postings.select(
         "term", "term_id", "doc_id", "tf", *(["norm_len"] if with_norm_len else [])
     )

@@ -596,6 +596,11 @@ def _decode_words_lockstep(
         e16 = c == EXC16
         if e16.any():
             ei = ai[e16]
+            # operand bounds check: buffers are concatenated, so an
+            # unchecked read past lens[ei] would silently return the NEXT
+            # block's words instead of raising like the scalar decoder
+            if (j[ei] + 1 >= lens[ei]).any():
+                raise ValueError("dint: truncated codeword stream")
             out[out_off[ei] + pos[ei]] = cws[starts[ei] + j[ei] + 1].astype(np.uint32)
             pos[ei] += 1
             j[ei] += 2
@@ -603,6 +608,8 @@ def _decode_words_lockstep(
         e32 = c == EXC32
         if e32.any():
             ei = ai[e32]
+            if (j[ei] + 2 >= lens[ei]).any():
+                raise ValueError("dint: truncated codeword stream")
             lo = cws[starts[ei] + j[ei] + 1]
             hi = cws[starts[ei] + j[ei] + 2]
             out[out_off[ei] + pos[ei]] = (lo | (hi << 16)).astype(np.uint32)
@@ -666,6 +673,10 @@ def _decode_bytes_lockstep(
         e16 = c == EXC16
         if e16.any():
             ei = ai[e16]
+            # same operand bounds check as the u16 twin (concatenated
+            # buffers would otherwise leak the next block's bytes)
+            if (j[ei] + 2 >= lens[ei]).any():
+                raise ValueError("dint8: truncated codeword stream")
             p = starts[ei] + j[ei]
             out[out_off[ei] + pos[ei]] = (raw[p + 1] | (raw[p + 2] << 8)).astype(
                 np.uint32
@@ -676,6 +687,8 @@ def _decode_bytes_lockstep(
         e32 = c == EXC32
         if e32.any():
             ei = ai[e32]
+            if (j[ei] + 4 >= lens[ei]).any():
+                raise ValueError("dint8: truncated codeword stream")
             p = starts[ei] + j[ei]
             out[out_off[ei] + pos[ei]] = (
                 raw[p + 1] | (raw[p + 2] << 8) | (raw[p + 3] << 16) | (raw[p + 4] << 24)

@@ -52,6 +52,19 @@ def test_term_meta_max_weight(tiny_index):
         assert abs(got[t] - expect[t]) < 1e-9
 
 
+def test_vocab_scalable_matches_window_path(spark, tiny_docs):
+    """build_vocab(scalable=True) — the production default since round 3 —
+    assigns term_ids identical to the window-rank debug path, so flipping
+    the default changes no query result or oracle hash (VERDICT r02 #4)."""
+    from dint_spark.build.postings import build_postings_raw, build_vocab
+    from dint_spark.tokenizer import tokenize_words
+
+    raw = build_postings_raw(tokenize_words(tiny_docs))
+    a = {r["term"]: r["term_id"] for r in build_vocab(raw, scalable=True).collect()}
+    b = {r["term"]: r["term_id"] for r in build_vocab(raw, scalable=False).collect()}
+    assert a == b and len(a) == 6
+
+
 def test_dense_ids_matches_window_rank(spark):
     from dint_spark.build.docids import dense_ids
 
