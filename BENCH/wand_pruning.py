@@ -1,0 +1,166 @@
+"""WAND/MaxScore pruning evidence on a corpus where pruning CAN prune.
+
+The driver bench corpus (sf0.1 documents) has a ~31-term vocabulary in
+which every query term is dense (df ≈ 0.8·N), so BM25 idf is ε-clamped
+and all scores are flat — no score-based pruning algorithm (the
+reference's included) can skip anything there; the sharded kernel's
+metadata check proves it and takes the vectorized exhaustive path.
+
+This bench builds a deterministic Zipf corpus (df spread 10..0.66·N →
+idf spread ~ln(N/10)..ε) and measures, for a mixed rare/dense query
+batch:
+
+  * decoded-block fraction (blocks decoded / blocks handed to the
+    kernel) for docs and freqs streams — the reference's "pruned ops
+    avoid decode" property, target < 0.5;
+  * wall time of sharded WAND / sharded MaxScore / exhaustive
+    ranked_or over the SAME compressed index (all three pay decode,
+    apples-to-apples) and ranked_or over cached uncompressed postings.
+
+Writes BENCH/wand_pruning.json and prints it.
+Usage: python BENCH/wand_pruning.py [--docs 200000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def zipf_tokens(spark, num_docs: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    import pandas as pd
+
+    parts = []
+    spec = [(f"t{i:02d}", max(10, int(num_docs * 0.5 ** (i + 1)))) for i in range(16)]
+    spec += [(f"dense{j}", int(num_docs * 0.66)) for j in range(4)]
+    for term, df in spec:
+        docs = rng.choice(num_docs, size=df, replace=False)
+        tfs = 1 + rng.integers(0, 4, size=df)
+        parts.append(
+            pd.DataFrame({"doc_id": np.repeat(docs, tfs), "term": term})
+        )
+    pdf = pd.concat(parts, ignore_index=True)
+    return spark.createDataFrame(pdf), spec
+
+
+QUERIES = [
+    (0, ["t00", "t08"]),
+    (1, ["t10"]),
+    (2, ["dense0", "dense1"]),
+    (3, ["t01", "t05", "t09"]),
+    (4, ["t11", "dense2"]),
+    (5, ["t03", "t03", "t07"]),
+    (6, ["t12", "t02", "dense3"]),
+    (7, ["t13", "t06"]),
+]
+
+
+def timed(spark, fn, runs=3):
+    fn()
+    ts = []
+    for _ in range(runs):
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return round(sorted(ts)[len(ts) // 2], 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from dint_spark.build.blocks import build_block_index, decode_block_index
+    from dint_spark.build.postings import build_fulltext_index
+    from dint_spark.codecs.registry import get_codec
+    from dint_spark.operators.ranked import ranked_or
+    from dint_spark.operators.wand_shard import (
+        maxscore_topk_sharded,
+        wand_sharded_decode_stats,
+        wand_topk_sharded,
+    )
+    from dint_spark.session import get_spark
+    from dint_spark.util import materialize
+
+    spark = get_spark("wand_pruning")
+    tokens, spec = zipf_tokens(spark, args.docs)
+    idx = build_fulltext_index(tokens, with_norm_len=True, cache=True)
+    codec = get_codec("block_vbyte")
+    bidx = materialize(build_block_index(idx.postings, codec))
+    rows = idx.docs.select("doc_id", "norm_len").collect()
+    arr = np.zeros(max(r["doc_id"] for r in rows) + 1, dtype=np.float64)
+    for r in rows:
+        arr[r["doc_id"]] = r["norm_len"]
+    norms = spark.sparkContext.broadcast(arr)
+    q = spark.createDataFrame(QUERIES, schema="query_id long, terms array<string>")
+    N = idx.num_docs
+
+    st = (
+        wand_sharded_decode_stats(idx, bidx, codec, q, N, norms)
+        .agg(
+            F.sum("blocks_total").alias("t"),
+            F.sum("blocks_docs_decoded").alias("d"),
+            F.sum("blocks_freqs_decoded").alias("f"),
+        )
+        .first()
+    )
+
+    # identical results sanity (rank identity vs the oracle plan)
+    def ranks(df):
+        return sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+            for r in df.collect()
+        )
+
+    ref = ranks(ranked_or(idx.postings, q, idx.vocab, N))
+    assert ranks(wand_topk_sharded(idx, bidx, codec, q, N, norms)) == ref
+    assert ranks(maxscore_topk_sharded(idx, bidx, codec, q, N, norms)) == ref
+
+    decoded = decode_block_index(bidx, codec).join(
+        idx.docs.select("doc_id", "norm_len"), "doc_id"
+    ).join(idx.vocab.select("term", "term_id"), "term_id")
+
+    out = {
+        "docs": args.docs,
+        "n_postings": int(idx.postings.count()),
+        "n_queries": len(QUERIES),
+        "blocks_handed_to_kernel": int(st["t"]),
+        "blocks_docs_decoded": int(st["d"]),
+        "blocks_freqs_decoded": int(st["f"]),
+        "decoded_docs_fraction": round(st["d"] / st["t"], 3),
+        "decoded_freqs_fraction": round(st["f"] / st["t"], 3),
+        "wall_sec": {
+            "wand_sharded": timed(
+                spark, lambda: wand_topk_sharded(idx, bidx, codec, q, N, norms).collect()
+            ),
+            "maxscore_sharded": timed(
+                spark,
+                lambda: maxscore_topk_sharded(idx, bidx, codec, q, N, norms).collect(),
+            ),
+            "ranked_or_over_index": timed(
+                spark, lambda: ranked_or(decoded, q, idx.vocab, N).collect()
+            ),
+            "ranked_or_cached_postings": timed(
+                spark, lambda: ranked_or(idx.postings, q, idx.vocab, N).collect()
+            ),
+        },
+    }
+    with open(os.path.join(REPO, "BENCH", "wand_pruning.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

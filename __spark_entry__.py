@@ -94,7 +94,40 @@ def q_ft_intersect_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ft_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND over the compressed index — rank-identical to
-    ranked_or (oracle is the SAME SQL: pruning must be lossless)."""
+    ranked_or (oracle is the SAME SQL: pruning must be lossless).
+
+    Doc-sharded DAAT (operators/wand_shard.py): the reference's actual
+    pivot/next_geq algorithm runs per (query, doc-shard) group in one
+    applyInPandas kernel — two shuffles total, lazy per-block decode."""
+    from dint_spark.engine import get_block_index, get_norms
+    from dint_spark.operators.wand_shard import wand_topk_sharded
+
+    idx = _idx(spark, sf_dir)
+    bidx, codec = get_block_index(spark, sf_dir, "single_packed_dint")
+    norms = get_norms(spark, sf_dir)
+    return wand_topk_sharded(
+        idx, bidx, codec, _queries(spark), idx.num_docs, norms, k=10
+    )
+
+
+def q_ft_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dint_spark.engine import get_block_index, get_norms
+    from dint_spark.operators.wand_shard import maxscore_topk_sharded
+
+    idx = _idx(spark, sf_dir)
+    bidx, codec = get_block_index(spark, sf_dir, "single_packed_dint")
+    norms = get_norms(spark, sf_dir)
+    return maxscore_topk_sharded(
+        idx, bidx, codec, _queries(spark), idx.num_docs, norms, k=10
+    )
+
+
+def q_ft_wand_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-relational two-phase WAND plan (operators/wand.py):
+    metadata pruning + candidate decode + rescore, zero driver
+    round-trips. Kept as a first-class oracle-checked operator — it is
+    the plan shape for clusters where per-doc Python kernels are
+    undesirable; the sharded DAAT plan above is the default."""
     from dint_spark.engine import get_block_index
     from dint_spark.operators.wand import wand_topk
 
@@ -103,7 +136,7 @@ def q_ft_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand_topk(idx, bidx, codec, _queries(spark), idx.num_docs, k=10)
 
 
-def q_ft_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ft_maxscore_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dint_spark.engine import get_block_index
     from dint_spark.operators.wand import maxscore_topk
 
@@ -290,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_intersect_pair": q_ft_intersect_pair,
         "ft_wand": q_ft_wand,
         "ft_maxscore": q_ft_maxscore,
+        "ft_wand_twophase": q_ft_wand_twophase,
+        "ft_maxscore_twophase": q_ft_maxscore_twophase,
         "ft_decode_roundtrip": q_ft_decode_roundtrip,
         "ft_decode_roundtrip_multi": q_ft_decode_roundtrip_multi,
         "ft_block_meta": q_ft_block_meta,
@@ -327,6 +362,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_intersect_pair": S.intersect_pair_sql("hash", "join"),
         "ft_wand": S.RANKED_OR,  # pruning must be lossless
         "ft_maxscore": S.RANKED_OR,
+        "ft_wand_twophase": S.RANKED_OR,
+        "ft_maxscore_twophase": S.RANKED_OR,
         "ft_decode_roundtrip": S.POSTINGS,
         "ft_decode_roundtrip_multi": S.POSTINGS,
         "ft_block_meta": S.BLOCK_META,

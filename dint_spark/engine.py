@@ -14,6 +14,7 @@ from dint_spark.tokenizer import tokenize_words
 
 _INDEX_CACHE: dict[tuple[int, str], FullTextIndex] = {}
 _BLOCK_CACHE: dict[tuple[int, str, str], tuple] = {}
+_NORMS_CACHE: dict[tuple[int, str], object] = {}
 
 
 def get_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
@@ -58,6 +59,32 @@ def get_block_index(spark: SparkSession, sf_dir: str, codec_name: str = "single_
         hit = (block_idx, codec)
         _BLOCK_CACHE[key] = hit
     return hit
+
+
+def get_norms(spark: SparkSession, sf_dir: str):
+    """Broadcast[np.ndarray]: norm_len per doc_id — the reference's
+    resident norm_lens[] (wand_data.hpp:55-58), shipped once per
+    session to executors for the sharded DAAT kernels. 8 bytes/doc
+    (8 GB per 10^9 docs per executor); beyond that, shard the norms on
+    the kernel's doc ranges and cogroup (operators/wand_shard.py
+    docstring). Memoized like the index itself."""
+    import numpy as np
+
+    key = (id(spark), sf_dir)
+    bc = _NORMS_CACHE.get(key)
+    if bc is None:
+        idx = get_index(spark, sf_dir)
+        rows = idx.docs.select("doc_id", "norm_len").collect()
+        # sized by the docID UNIVERSE (max id + 1), not num_docs: ids
+        # need not be dense, and the sharded kernels clip shards to
+        # len(norms) — a short array would drop trailing docs
+        arr = np.zeros((max(r["doc_id"] for r in rows) + 1) if rows else 0,
+                       dtype=np.float64)
+        for r in rows:
+            arr[r["doc_id"]] = r["norm_len"]
+        bc = spark.sparkContext.broadcast(arr)
+        _NORMS_CACHE[key] = bc
+    return bc
 
 
 def get_index_stats(
