@@ -64,15 +64,20 @@ QUERIES = [
 ]
 
 
-def timed(spark, fn, runs=3):
-    fn()
-    ts = []
-    for _ in range(runs):
-        spark._jvm.System.gc()
-        t0 = time.perf_counter()
+def timed_all(spark, fns: dict, runs: int = 4) -> dict:
+    """Interleaved round-robin timing: warm every workload first, then
+    cycle A,B,C,...×runs so JVM/codegen warmup and session drift spread
+    evenly instead of biasing whichever ran first. Reports the median."""
+    for fn in fns.values():
         fn()
-        ts.append(time.perf_counter() - t0)
-    return round(sorted(ts)[len(ts) // 2], 3)
+    ts: dict = {k: [] for k in fns}
+    for _ in range(runs):
+        for k, fn in fns.items():
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn()
+            ts[k].append(time.perf_counter() - t0)
+    return {k: round(sorted(v)[len(v) // 2], 3) for k, v in ts.items()}
 
 
 def main() -> None:
@@ -107,15 +112,34 @@ def main() -> None:
     q = spark.createDataFrame(QUERIES, schema="query_id long, terms array<string>")
     N = idx.num_docs
 
-    st = (
+    per_q = (
         wand_sharded_decode_stats(idx, bidx, codec, q, N, norms)
+        .groupBy("query_id")
         .agg(
             F.sum("blocks_total").alias("t"),
             F.sum("blocks_docs_decoded").alias("d"),
             F.sum("blocks_freqs_decoded").alias("f"),
         )
-        .first()
+        .collect()
     )
+    st = {
+        "t": sum(r["t"] for r in per_q),
+        "d": sum(r["d"] for r in per_q),
+        "f": sum(r["f"] for r in per_q),
+    }
+    per_query = {
+        int(r["query_id"]): {
+            "blocks": int(r["t"]),
+            "docs_frac": round(r["d"] / r["t"], 3),
+            "freqs_frac": round(r["f"] / r["t"], 3),
+        }
+        for r in sorted(per_q, key=lambda r: r["query_id"])
+    }
+    # selective subset: queries anchored by a rare term whose θ seed can
+    # actually prune (the WAND case); the flat dense queries deliberately
+    # exercise the exhaustive fallback instead
+    SELECTIVE = [1, 4, 6, 7]
+    qsel = q.filter(F.col("query_id").isin(SELECTIVE))
 
     # identical results sanity (rank identity vs the oracle plan)
     def ranks(df):
@@ -141,21 +165,36 @@ def main() -> None:
         "blocks_freqs_decoded": int(st["f"]),
         "decoded_docs_fraction": round(st["d"] / st["t"], 3),
         "decoded_freqs_fraction": round(st["f"] / st["t"], 3),
-        "wall_sec": {
-            "wand_sharded": timed(
-                spark, lambda: wand_topk_sharded(idx, bidx, codec, q, N, norms).collect()
-            ),
-            "maxscore_sharded": timed(
-                spark,
-                lambda: maxscore_topk_sharded(idx, bidx, codec, q, N, norms).collect(),
-            ),
-            "ranked_or_over_index": timed(
-                spark, lambda: ranked_or(decoded, q, idx.vocab, N).collect()
-            ),
-            "ranked_or_cached_postings": timed(
-                spark, lambda: ranked_or(idx.postings, q, idx.vocab, N).collect()
-            ),
-        },
+        "per_query": per_query,
+        "selective_queries": SELECTIVE,
+        "wall_sec_selective": timed_all(
+            spark,
+            {
+                "wand_sharded": lambda: wand_topk_sharded(
+                    idx, bidx, codec, qsel, N, norms
+                ).collect(),
+                "ranked_or_over_index": lambda: ranked_or(
+                    decoded, qsel, idx.vocab, N
+                ).collect(),
+            },
+        ),
+        "wall_sec": timed_all(
+            spark,
+            {
+                "wand_sharded": lambda: wand_topk_sharded(
+                    idx, bidx, codec, q, N, norms
+                ).collect(),
+                "maxscore_sharded": lambda: maxscore_topk_sharded(
+                    idx, bidx, codec, q, N, norms
+                ).collect(),
+                "ranked_or_over_index": lambda: ranked_or(
+                    decoded, q, idx.vocab, N
+                ).collect(),
+                "ranked_or_cached_postings": lambda: ranked_or(
+                    idx.postings, q, idx.vocab, N
+                ).collect(),
+            },
+        ),
     }
     with open(os.path.join(REPO, "BENCH", "wand_pruning.json"), "w") as f:
         json.dump(out, f, indent=2)

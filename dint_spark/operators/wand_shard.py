@@ -254,15 +254,21 @@ def _exhaustive_merge(
         return []
     alld = np.concatenate(doc_parts)
     alls = np.concatenate(score_parts)
-    uniq, inv = np.unique(alld, return_inverse=True)
-    tot = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(tot, inv, alls)
-    if len(uniq) > k:
-        # top-k by (rounded score desc, doc asc)
-        r = np.round(tot, SCORE_ROUND)
-        order = np.lexsort((uniq, -r))[:k]
+    span = hi - lo
+    if span <= 1 << 24:
+        # dense-array aggregation (bincount is C-speed, no sort): doc
+        # space within a shard is contiguous by construction
+        tot_all = np.bincount(alld - lo, weights=alls, minlength=span)
+        nz = np.flatnonzero(tot_all)  # every matching doc scores > 0
+        uniq, tot = nz + lo, tot_all[nz]
     else:
-        order = np.arange(len(uniq))
+        uniq, inv = np.unique(alld, return_inverse=True)
+        tot = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(tot, inv, alls)
+    # top-k by (rounded score desc, doc asc); a partial-sort shortcut
+    # (argpartition) is WRONG here — on ε-flat corpora every doc ties on
+    # the rounded score and the tie-break must see all of them
+    order = np.lexsort((uniq, -np.round(tot, SCORE_ROUND)))[:k]
     return [(int(uniq[i]), float(tot[i])) for i in order]
 
 
@@ -290,11 +296,12 @@ def _prunable(enums: list[_ListEnum], theta: float, blocks: bool) -> bool:
 
 
 def _wand_group(
-    g: pd.DataFrame, codec, norms, shard_size: int, universe: int, k: int,
+    g: pd.DataFrame, codec, norms, universe: int, k: int,
     use_block_max: bool,
 ) -> tuple[list[tuple], list[int]]:
     stats = [0, 0, 0]
     shard = int(g["_shard"].iloc[0])
+    shard_size = int(g["_shard_size"].iloc[0])
     lo, hi = shard * shard_size, min((shard + 1) * shard_size, universe)
     enums = _build_enums(g, codec, lo, hi, stats)
     seed = _theta_seed(g)
@@ -370,13 +377,14 @@ def _wand_group(
 
 
 def _maxscore_group(
-    g: pd.DataFrame, codec, norms, shard_size: int, universe: int, k: int
+    g: pd.DataFrame, codec, norms, universe: int, k: int
 ) -> tuple[list[tuple], list[int]]:
     """Term-level MaxScore (queries.hpp:459-573): ascending-bound prefix
     is non-essential; DAAT over essential lists only; non-essential
     contributions added by next_geq probes with early termination."""
     stats = [0, 0, 0]
     shard = int(g["_shard"].iloc[0])
+    shard_size = int(g["_shard_size"].iloc[0])
     lo, hi = shard * shard_size, min((shard + 1) * shard_size, universe)
     enums = _build_enums(g, codec, lo, hi, stats)
     seed = _theta_seed(g)
@@ -424,20 +432,63 @@ def _maxscore_group(
 # ---------------------------------------------------------------------------
 
 
+MIN_GROUP_POSTINGS = 4096  # 16 blocks: below this, sharding is overhead
+
+
 def _query_block_groups(
     idx: FullTextIndex,
     bidx: DataFrame,
     queries: DataFrame,
     num_docs: int,
-    shard_size: int,
+    universe: int,
+    num_shards: int | None,
 ) -> DataFrame:
-    """blocks ⋈ broadcast(query-term metadata), exploded to doc shards."""
+    """blocks ⋈ broadcast(query-term metadata), exploded to doc shards.
+
+    Shard count is PER QUERY, derived from metadata (Σ df of the query's
+    terms): a rare-term query runs in one shard (sharding a 97-posting
+    list 32 ways would decode its one straddling block 32×), a dense
+    query fans to ~defaultParallelism shards. The global budget keeps
+    total groups ≈ 2× parallelism. An explicit num_shards overrides
+    (fixed shard size for every query — used by tests and the
+    decode-stats surface)."""
+    from pyspark.sql import Window as W
+
+    spark = queries.sparkSession
     qt = query_terms(queries, dedup=False)
     qt = qt.join(F.broadcast(idx.vocab.select("term", "term_id", "df")), "term")
     qt = qt.withColumn(
         "qw", query_term_weight(F.col("qtf"), F.col("df"), F.lit(num_docs))
     ).join(F.broadcast(idx.term_meta.select("term_id", "w10")), "term_id")
-    qt_meta = qt.select("query_id", "term_id", "qw", "w10")
+    if num_shards is not None:
+        ss = -(-universe // max(1, num_shards))
+        qt_meta = qt.select(
+            "query_id", "term_id", "qw", "w10", F.lit(ss).alias("_shard_size")
+        )
+    else:
+        par = max(1, spark.sparkContext.defaultParallelism)
+        # windows over the query-metadata frame (≤ |queries|·16 rows)
+        w_q = W.partitionBy("query_id").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        w_all = W.partitionBy().rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        tot = F.sum("df").over(w_q)
+        grand = F.sum("df").over(w_all)
+        target = F.greatest(
+            F.lit(float(MIN_GROUP_POSTINGS)), grand / F.lit(2.0 * par)
+        )
+        nsh = F.least(
+            F.lit(par), F.greatest(F.lit(1), F.ceil(tot / target))
+        ).cast("long")
+        qt_meta = qt.select(
+            "query_id",
+            "term_id",
+            "qw",
+            "w10",
+            F.ceil(F.lit(float(universe)) / nsh).cast("long").alias("_shard_size"),
+        )
     return (
         bidx.join(F.broadcast(qt_meta), "term_id")
         .withColumn(
@@ -445,24 +496,16 @@ def _query_block_groups(
             F.explode(
                 F.sequence(
                     F.greatest(
-                        F.floor((F.col("block_base") + F.lit(1)) / shard_size),
+                        F.floor(
+                            (F.col("block_base") + F.lit(1)) / F.col("_shard_size")
+                        ),
                         F.lit(0),
                     ),
-                    F.floor(F.col("block_max") / shard_size),
+                    F.floor(F.col("block_max") / F.col("_shard_size")),
                 )
             ),
         )
     )
-
-
-def _pick_shards(spark, num_docs: int, num_shards: int | None) -> int:
-    if num_shards is not None:
-        return max(1, num_shards)
-    # enough shards to spread a single-query batch over the cluster, few
-    # enough that straddling blocks (duplicated per overlapped shard)
-    # stay rare: ~4 docs-per-shard blocks of 256 postings minimum
-    par = spark.sparkContext.defaultParallelism
-    return max(1, min(par, num_docs // 2048 or 1))
 
 
 def wand_topk_sharded(
@@ -502,9 +545,7 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo):
     # ids are not dense (docs with no tokens leave holes); sharding and
     # clipping must cover the universe or trailing docs vanish
     universe = len(norms.value)
-    nsh = _pick_shards(spark, num_docs, num_shards)
-    shard_size = -(-universe // nsh)  # ceil
-    groups = _query_block_groups(idx, bidx, queries, num_docs, shard_size)
+    groups = _query_block_groups(idx, bidx, queries, num_docs, universe, num_shards)
     codec_bc = spark.sparkContext.broadcast(codec)
     norms_bc = norms  # already a Broadcast[np.ndarray]
 
@@ -514,10 +555,10 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo):
         c, nv = codec_bc.value, norms_bc.value
         qid = int(gdf["query_id"].iloc[0])
         if algo == "maxscore":
-            rows, _ = _maxscore_group(gdf, c, nv, shard_size, universe, k)
+            rows, _ = _maxscore_group(gdf, c, nv, universe, k)
         else:
             rows, _ = _wand_group(
-                gdf, c, nv, shard_size, universe, k, algo == "wand"
+                gdf, c, nv, universe, k, algo == "wand"
             )
         return pd.DataFrame(
             {
@@ -542,9 +583,7 @@ def wand_sharded_decode_stats(
     analog: the profiled decode counts, block_profiler)."""
     spark = queries.sparkSession
     universe = len(norms.value)
-    nsh = _pick_shards(spark, num_docs, num_shards)
-    shard_size = -(-universe // nsh)
-    groups = _query_block_groups(idx, bidx, queries, num_docs, shard_size)
+    groups = _query_block_groups(idx, bidx, queries, num_docs, universe, num_shards)
     codec_bc = spark.sparkContext.broadcast(codec)
     norms_bc = norms
 
@@ -553,9 +592,9 @@ def wand_sharded_decode_stats(
         qid = int(gdf["query_id"].iloc[0])
         shard = int(gdf["_shard"].iloc[0])
         if algo == "maxscore":
-            _, st = _maxscore_group(gdf, c, nv, shard_size, universe, k)
+            _, st = _maxscore_group(gdf, c, nv, universe, k)
         else:
-            _, st = _wand_group(gdf, c, nv, shard_size, universe, k, True)
+            _, st = _wand_group(gdf, c, nv, universe, k, True)
         return pd.DataFrame(
             {
                 "query_id": [qid],
