@@ -26,7 +26,6 @@ from dint_spark.operators.dedup import (
 from dint_spark.operators.similarity import (
     DEFAULT_QUERY_IDS,
     DIM,
-    NUM_PLANES,
     PLANE_ADD,
     PLANE_MOD,
     PLANE_MULT,
@@ -190,10 +189,20 @@ norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id)
 """
 
 # bucket CTE fragment shared by DD_EMBED_DUPS and SIM_ANN_LSH — the
-# operator is LSH-bucketed (only within-bucket pairs compared), and the
-# planes are fixed literals, so the oracle reproduces it exactly.
-_BUCKETS = """
-planes AS (SELECT * FROM (VALUES {rows}) AS p(j)),
+# operator is LSH-bucketed (only within-bucket pairs compared); the
+# plane COUNT auto-sizes from the vector count with the same
+# clamp(ceil(log2(N/128)), 1, 62) arithmetic the Spark operator uses
+# (similarity.lsh_bucket), and the planes themselves are deterministic
+# literals, so the oracle reproduces the operator exactly at any sf.
+_NPLANES_CTE = """
+nplanes AS (
+  SELECT LEAST(62, GREATEST(1,
+    CAST(ceil(log2(count(*) / 128.0)) AS BIGINT))) AS np
+  FROM embeddings
+)"""
+
+_BUCKETS = _NPLANES_CTE + """,
+planes AS (SELECT unnest(range(0, (SELECT np FROM nplanes))) AS j),
 proj AS (
   SELECT ev.vec_id, p.j,
          sum(ev.x * ((({mult} * (p.j * {dim} + (ev.d - 1)) + {add})
@@ -209,7 +218,6 @@ buckets AS (
 """
 
 DD_EMBED_DUPS = _EV + "," + _BUCKETS.format(
-    rows=", ".join(f"({j})" for j in range(NUM_PLANES)),
     mult=PLANE_MULT,
     dim=DIM,
     add=PLANE_ADD,
@@ -254,10 +262,8 @@ SELECT query_vec, vec_id, cosine, rank FROM (
 """
 
 # bucket via a lateral-free formulation: per (vec, plane) aggregate
-_plane_rows = ", ".join(f"({j})" for j in range(NUM_PLANES))
-
-SIM_ANN_LSH = _EV + f""",
-planes AS (SELECT * FROM (VALUES {_plane_rows}) AS p(j)),
+SIM_ANN_LSH = _EV + "," + _NPLANES_CTE + f""",
+planes AS (SELECT unnest(range(0, (SELECT np FROM nplanes))) AS j),
 proj AS (
   SELECT ev.vec_id, p.j,
          sum(ev.x * ((({PLANE_MULT} * (p.j * {DIM} + (ev.d - 1)) + {PLANE_ADD})
