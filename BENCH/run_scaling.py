@@ -215,6 +215,15 @@ subset; the driver sf corpora are ε-flat (every term dense → idf
 clamped) where NO score-based pruning can skip work, and the kernel's
 metadata check routes those to the vectorized exhaustive path.
 
+Prefix-packing (B5, BENCH/pack_report_50k.json,
+`python tools/pack_report.py`): on the 50k-corpus dictionaries,
+pack_policy-style prefix elimination would save 1.2% (docs) / 6.9%
+(freqs) of the tight variable-length layout; the model's actual Parquet
+table is 2.18 MB vs 8.9 MB for the reference's fixed 17-word rows —
+Parquet's dictionary/RLE encodings already out-pack pack_policy, which
+closes the round-1 "quantify the bpi delta" question in favor of the
+declared skip.
+
 Raw numbers: BENCH/scaling.json. Reproduce:
 `python BENCH/run_scaling.py --docs {args.docs} --queries {args.queries}`.
 """

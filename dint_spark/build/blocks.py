@@ -327,6 +327,53 @@ def decode_block_index(
     ).mapInPandas(decode_blocks, schema=schema)
 
 
+def transcode_block_index(index: DataFrame, src_codec, dst_codec) -> DataFrame:
+    """Re-encode a compressed block table into another codec WITHOUT
+    rebuilding from postings — the enumerator's get_blocks/write_blocks
+    path (E5, /root/reference/include/dint/dict_posting_list.hpp:207-277:
+    decode each block's gaps/freqs, hand them to a new writer, keep the
+    skip metadata untouched).
+
+    One narrow mapInPandas over the block table: per block, decode the
+    payload with src_codec and encode with dst_codec; term_id/block_id/
+    n/block_base/block_max/block_max_weight pass through unchanged (the
+    gap transform is codec-independent, so no re-ranking, no shuffle —
+    at 100 TB this is a pure map stage over the index, which is the
+    point of the reference's block-level transcode).
+    """
+    spark = index.sparkSession
+    src_bc = spark.sparkContext.broadcast(src_codec)
+    dst_bc = spark.sparkContext.broadcast(dst_codec)
+
+    def transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s, d = src_bc.value, dst_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            pdf = pdf.copy()
+            pdf["docs_bytes"] = [
+                d.encode_docs(s.decode_docs(b, int(n)))
+                for b, n in zip(pdf["docs_bytes"], ns)
+            ]
+            pdf["freqs_bytes"] = [
+                d.encode_freqs(s.decode_freqs(b, int(n)))
+                for b, n in zip(pdf["freqs_bytes"], ns)
+            ]
+            yield pdf
+
+    return index.select(
+        "term_id",
+        "block_id",
+        "n",
+        "block_base",
+        "block_max",
+        "block_max_weight",
+        "docs_bytes",
+        "freqs_bytes",
+    ).mapInPandas(transcode, schema=INDEX_SCHEMA)
+
+
 def index_stats(index: DataFrame) -> DataFrame:
     """bits-per-integer metrics (index_build_utils.hpp:91-118 analog)."""
     return index.agg(

@@ -144,7 +144,19 @@ def write_collection(
 ) -> None:
     """postings(term_id, doc_id, tf) → <base>.docs/.freqs (+.sizes when
     doc_len derivable). Serial by format design; driver memory stays
-    bounded (one term's arrays at a time via toLocalIterator)."""
+    bounded (one term's arrays at a time via toLocalIterator).
+
+    Memory bound (explicit): the sort_array(collect_list(...)) builds
+    each term's FULL posting list in one executor aggregation buffer —
+    O(longest list), i.e. a df≈num_docs stopword costs ~16 bytes/posting
+    of executor heap. That bound is intrinsic to the format: a list must
+    be contiguous in the output stream, and the reference's own writer
+    materializes one list at a time too. Lists beyond executor heap
+    (≳10^9 postings) need a chunked protocol (range-partition by
+    (term_id, doc_id), stream chunks per term) — out of scope for this
+    single-node interchange format; the Parquet tables are the
+    cluster-scale representation.
+    """
     if num_docs is None:
         num_docs = int(postings.agg(F.max("doc_id")).first()[0]) + 1
     lists = (
@@ -178,3 +190,72 @@ def write_sizes(docs: DataFrame, path: str) -> None:
     with open(path, "wb") as f:
         f.write(np.array([sizes.size], dtype="<u4").tobytes())
         f.write(sizes.tobytes())
+
+
+def read_blocks_collection(spark: SparkSession, path: str) -> DataFrame:
+    """S3 binary_blocks_collection → (block_ord, freq, vals array<long>).
+
+    Format (/root/reference/include/ds2i/binary_blocks_collection.hpp:
+    13-155): one u32 stream — [num_blocks], then per block [n][freq]
+    [n × u32 values]; zero length words are skipped (the iterator's
+    empty-sequence skip, :125-127). The reference feeds this to the
+    vroom-side dictionary builders (dictionary_builders.hpp).
+
+    Same scale shape as read_collection: the driver scans only header
+    words; tasks fromfile their own value ranges.
+    """
+    size = os.path.getsize(path)
+    heads: list[tuple[int, int, int, int]] = []  # (ord, payload_off, n, freq)
+    with open(path, "rb", buffering=1 << 20) as f:
+        first = f.read(4)
+        if len(first) < 4:
+            raise ValueError(f"{path}: missing num_blocks header")
+        num_blocks = int.from_bytes(first, "little")
+        if num_blocks == 0:
+            raise ValueError("Number of blocks must not be 0")
+        pos, ordn = 4, 0
+        while pos < size:
+            head = f.read(4)
+            pos += 4
+            n = int.from_bytes(head, "little")
+            if n == 0:  # skip empty seqs (:125-127)
+                continue
+            freq = int.from_bytes(f.read(4), "little")
+            pos += 4
+            n = min(n, (size - pos) // 4)  # truncated-file tolerance (:129)
+            heads.append((ordn, pos, n, freq))
+            ordn += 1
+            pos += 4 * n
+            f.seek(pos)
+    if len(heads) != num_blocks:
+        raise ValueError(
+            f"{path}: header says {num_blocks} blocks, found {len(heads)}"
+        )
+
+    idx = spark.createDataFrame(
+        pd.DataFrame(heads, columns=["block_ord", "off", "n", "freq"])
+    )
+
+    def load(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                vals = np.fromfile(path, dtype="<u4", count=int(r.n), offset=int(r.off))
+                rows.append((int(r.block_ord), int(r.freq), vals.astype(np.int64).tolist()))
+            if rows:
+                yield pd.DataFrame(rows, columns=["block_ord", "freq", "vals"])
+
+    return idx.mapInPandas(load, "block_ord long, freq long, vals array<long>")
+
+
+def write_blocks_collection(blocks: DataFrame, path: str) -> None:
+    """(block_ord, freq, vals) → binary_blocks_collection file. Serial
+    by format design; bounded driver memory (toLocalIterator)."""
+    rows = blocks.select("block_ord", "freq", "vals").orderBy("block_ord")
+    n_blocks = blocks.count()
+    with open(path, "wb") as f:
+        f.write(np.array([n_blocks], dtype="<u4").tobytes())
+        for r in rows.toLocalIterator():
+            vals = np.array(r["vals"], dtype="<u4")
+            f.write(np.array([vals.size, r["freq"]], dtype="<u4").tobytes())
+            f.write(vals.tobytes())

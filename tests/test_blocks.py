@@ -113,3 +113,30 @@ def test_block_profile(spark, random_postings):
     tails = [r for r in rows if r["n"] < 256]
     assert all(r["patterns"] is None for r in tails)  # interpolative payloads
     assert all(r["bytes"] > 0 for r in rows)
+
+
+def test_transcode_block_index(spark, random_postings):
+    """E5 get_blocks/write_blocks: block-level re-encode into another
+    codec preserves payload semantics and all skip metadata
+    (dict_posting_list.hpp:207-277)."""
+    from dint_spark.build.blocks import (
+        build_block_index,
+        decode_block_index,
+        transcode_block_index,
+    )
+    from dint_spark.codecs.registry import get_codec
+    from dint_spark.util import materialize
+
+    src = get_codec("block_vbyte")
+    dst = get_codec("block_simple16")
+    bidx = materialize(build_block_index(random_postings, src))
+    tidx = materialize(transcode_block_index(bidx, src, dst))
+
+    meta_cols = ["term_id", "block_id", "n", "block_base", "block_max"]
+    assert (
+        bidx.select(*meta_cols).exceptAll(tidx.select(*meta_cols)).count() == 0
+    )
+    decoded = decode_block_index(tidx, dst)
+    truth = random_postings.select("term_id", "doc_id", "tf")
+    assert decoded.exceptAll(truth).count() == 0
+    assert truth.exceptAll(decoded).count() == 0

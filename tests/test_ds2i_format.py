@@ -61,3 +61,29 @@ def test_reference_query_log(spark):
     assert q.count() == 500
     first = q.orderBy("query_id").first()
     assert first["terms"] == [101587, 61936]
+
+
+def test_blocks_collection_roundtrip(spark, tmp_path):
+    """S3 binary_blocks_collection: [num_blocks] then [n][freq][vals]
+    per block (binary_blocks_collection.hpp:13-155)."""
+    import os
+
+    from dint_spark.ds2i_format import (
+        read_blocks_collection,
+        write_blocks_collection,
+    )
+
+    rows = [
+        (0, 7, [1, 2, 3, 4]),
+        (1, 1, [10]),
+        (2, 99, list(range(256))),
+    ]
+    df = spark.createDataFrame(rows, schema="block_ord long, freq long, vals array<long>")
+    path = os.path.join(tmp_path, "blocks.bin")
+    write_blocks_collection(df, path)
+
+    back = read_blocks_collection(spark, path)
+    got = sorted(
+        (r["block_ord"], r["freq"], list(r["vals"])) for r in back.collect()
+    )
+    assert got == rows
