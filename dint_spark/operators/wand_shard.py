@@ -433,6 +433,16 @@ def _maxscore_group(
 
 
 MIN_GROUP_POSTINGS = 4096  # 16 blocks: below this, sharding is overhead
+MIN_SHARD_DOCS = 2048  # static layout: ≥ ~8 blocks of doc span per shard
+
+
+def _static_shards(spark, universe: int) -> int:
+    """Default shard count — a STATIC per-index layout, the way real
+    search deployments shard (shards are an index property fixed at
+    build time, queries fan out to all of them): enough shards to
+    occupy the cluster, floored so block doc-spans rarely straddle."""
+    par = max(1, spark.sparkContext.defaultParallelism)
+    return max(1, min(par, universe // MIN_SHARD_DOCS or 1))
 
 
 def _query_block_groups(
@@ -441,17 +451,18 @@ def _query_block_groups(
     queries: DataFrame,
     num_docs: int,
     universe: int,
-    num_shards: int | None,
+    num_shards,
 ) -> DataFrame:
     """blocks ⋈ broadcast(query-term metadata), exploded to doc shards.
 
-    Shard count is PER QUERY, derived from metadata (Σ df of the query's
-    terms): a rare-term query runs in one shard (sharding a 97-posting
-    list 32 ways would decode its one straddling block 32×), a dense
-    query fans to ~defaultParallelism shards. The global budget keeps
-    total groups ≈ 2× parallelism. An explicit num_shards overrides
-    (fixed shard size for every query — used by tests and the
-    decode-stats surface)."""
+    num_shards: None → static per-index layout (_static_shards);
+    an int → that fixed count (tests, decode-stats surface);
+    "auto" → PER-QUERY sizing, nsh = clamp(ceil(Σdf / MIN_GROUP_POSTINGS),
+    1, parallelism) from one window over the ≤|q|·16-row metadata frame.
+    Auto avoids decoding a rare query's straddling blocks once per shard
+    on heterogeneous batches, at ~0.3-0.5s of extra plan stages — worth
+    it for mixed rare/dense logs, overhead for uniform ones (measured at
+    sf0.1; the static layout is the default for that reason)."""
     from pyspark.sql import Window as W
 
     spark = queries.sparkSession
@@ -460,27 +471,15 @@ def _query_block_groups(
     qt = qt.withColumn(
         "qw", query_term_weight(F.col("qtf"), F.col("df"), F.lit(num_docs))
     ).join(F.broadcast(idx.term_meta.select("term_id", "w10")), "term_id")
-    if num_shards is not None:
-        ss = -(-universe // max(1, num_shards))
-        qt_meta = qt.select(
-            "query_id", "term_id", "qw", "w10", F.lit(ss).alias("_shard_size")
-        )
-    else:
+    if num_shards == "auto":
         par = max(1, spark.sparkContext.defaultParallelism)
-        # windows over the query-metadata frame (≤ |queries|·16 rows)
         w_q = W.partitionBy("query_id").rowsBetween(
             W.unboundedPreceding, W.unboundedFollowing
         )
-        w_all = W.partitionBy().rowsBetween(
-            W.unboundedPreceding, W.unboundedFollowing
-        )
         tot = F.sum("df").over(w_q)
-        grand = F.sum("df").over(w_all)
-        target = F.greatest(
-            F.lit(float(MIN_GROUP_POSTINGS)), grand / F.lit(2.0 * par)
-        )
         nsh = F.least(
-            F.lit(par), F.greatest(F.lit(1), F.ceil(tot / target))
+            F.lit(par),
+            F.greatest(F.lit(1), F.ceil(tot / F.lit(float(MIN_GROUP_POSTINGS)))),
         ).cast("long")
         qt_meta = qt.select(
             "query_id",
@@ -488,6 +487,12 @@ def _query_block_groups(
             "qw",
             "w10",
             F.ceil(F.lit(float(universe)) / nsh).cast("long").alias("_shard_size"),
+        )
+    else:
+        nsh = num_shards if num_shards is not None else _static_shards(spark, universe)
+        ss = -(-universe // max(1, int(nsh)))
+        qt_meta = qt.select(
+            "query_id", "term_id", "qw", "w10", F.lit(ss).alias("_shard_size")
         )
     return (
         bidx.join(F.broadcast(qt_meta), "term_id")
@@ -517,7 +522,7 @@ def wand_topk_sharded(
     norms,
     k: int = 10,
     use_block_max: bool = True,
-    num_shards: int | None = None,
+    num_shards: "int | str | None" = None,
 ) -> DataFrame:
     """Block-max WAND over the compressed index, doc-sharded DAAT."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
@@ -532,7 +537,7 @@ def maxscore_topk_sharded(
     num_docs: int,
     norms,
     k: int = 10,
-    num_shards: int | None = None,
+    num_shards: "int | str | None" = None,
 ) -> DataFrame:
     """Term-level MaxScore over the compressed index, doc-sharded DAAT."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,

@@ -148,3 +148,17 @@ def test_wand_sharded_prunes_blocks_on_zipf(spark, zipf_setup):
     assert st["t"] > 0
     assert st["d"] < 0.5 * st["t"], (st["d"], st["t"])
     assert st["f"] <= st["d"]
+
+
+def test_wand_sharded_auto_mode_zipf(spark, zipf_setup):
+    """num_shards="auto" (per-query sizing) stays rank-identical."""
+    from dint_spark.operators.ranked import ranked_or
+    from dint_spark.operators.wand_shard import wand_topk_sharded
+
+    idx, bidx, codec, norms = zipf_setup
+    q = _zipf_queries(spark)
+    ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs))
+    got = _ranks(
+        wand_topk_sharded(idx, bidx, codec, q, idx.num_docs, norms, num_shards="auto")
+    )
+    assert got == ref
