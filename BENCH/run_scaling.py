@@ -148,21 +148,26 @@ def main() -> None:
 
     for cpus in LEVELS:
         lvl = {}
-        best = None
-        for _ in range(3):
-            r = run_job(
-                "jobs/query_batch.py", cpus,
-                ["--index", shared_idx, "--op", "ranked_or",
-                 "--queries", str(args.queries), "--repeats", "1"],
-            )
-            if best is None or r["qps"] > best["qps"]:
-                best = r
-        lvl["query"] = best
+        for work, op in (("query", "ranked_or"), ("wand", "wand")):
+            best = None
+            for _ in range(3):
+                r = run_job(
+                    "jobs/query_batch.py", cpus,
+                    ["--index", shared_idx, "--op", op,
+                     "--queries", str(args.queries), "--repeats", "1"],
+                )
+                if best is None or r["qps"] > best["qps"]:
+                    best = r
+            lvl[work] = best
         lvl["decode"] = run_decode(cpus, shared_idx)
         results[f"local{cpus}"] = lvl
 
     lo, hi = f"local{LEVELS[0]}", f"local{LEVELS[1]}"
-    for work, key in (("query", "qps"), ("decode", "postings_per_sec")):
+    for work, key in (
+        ("query", "qps"),
+        ("wand", "qps"),
+        ("decode", "postings_per_sec"),
+    ):
         s = results[hi][work][key] / results[lo][work][key]
         results[f"{work}_speedup"] = round(s, 3)
         results[f"{work}_efficiency"] = round(s / 4.0, 3)
@@ -190,6 +195,7 @@ hardware-linear regime.
 | workload | local[2] | local[8] | speedup (4× cores) | efficiency |
 |---|---|---|---|---|
 | BM25 ranked top-10 batch, {args.queries:,} queries (q/s) | {results[lo]['query']['qps']} | {results[hi]['query']['qps']} | {results['query_speedup']}× | {results['query_efficiency']} |
+| sharded block-max WAND top-10, same batch (q/s) | {results[lo]['wand']['qps']} | {results[hi]['wand']['qps']} | {results['wand_speedup']}× | {results['wand_efficiency']} |
 | DINT full-index decode (postings/s) | {results[lo]['decode']['postings_per_sec']:,} | {results[hi]['decode']['postings_per_sec']:,} | {results['decode_speedup']}× | {results['decode_efficiency']} |
 
 Compression (learned dictionaries, this corpus): docs {bi['docs_bpi']}

@@ -10,21 +10,26 @@ Reference semantics (/root/reference/include/ds2i/queries.hpp):
                   by next_geq lookups with early termination.
 
 Distribution model (how real search clusters run WAND): partition the
-DOCUMENT space into contiguous shards; every shard holds its slice of
-each query term's posting blocks; each (query, shard) group runs the
-reference's sequential algorithm over its slice; a final tiny top-k
-merges k rows per shard. In Spark:
+DOCUMENT space into contiguous shards fixed per index; every shard
+holds its slice of the posting blocks; queries fan out to shards; each
+shard runs the sequential algorithm per query over an in-memory slice;
+a final tiny top-k merges k rows per (query, shard). In Spark, as a
+COGROUP so the index slice ships ONCE regardless of batch size:
 
-    blocks ⋈ broadcast(query terms + metadata)     -- scan, no shuffle
-      → explode to overlapped doc-shards           -- narrow
-      → groupBy(query_id, shard).applyInPandas     -- the ONE shuffle
-      → topk merge over ≤ k·shards rows per query  -- tiny
+    blocks (query terms only, left-semi)  ─┐ groupBy(shard) ─┐
+    query-term metadata × shard ids       ─┘ groupBy(shard) ─┴─ cogroup
+      → applyInPandas(shard server kernel)   -- the ONE shuffle;
+         · per-shard TERM CACHE: block arrays built once, decoded
+           blocks memoized ACROSS the batch's queries (a query that
+           touches a block another query already decoded pays nothing —
+           the shard-server working set, not a Spark-level cache)
+         · per query: DAAT kernel (pivot/next_geq/block-max, lazy
+           per-block doc+freq decode) or a vectorized exhaustive merge
+      → topk merge over ≤ k·shards rows per query   -- tiny
 
-Two shuffles total — the same order as the exhaustive ranked_or plan —
-versus the ~10-stage relational two-phase plan (operators/wand.py),
-which pays one full decode pass for candidates and another for rescore.
-Measured at sf0.1/local[32] this runs ≈3× faster than the two-phase
-plan and at parity with ranked_or over cached uncompressed postings.
+Shuffle volume is O(index slice of the batch's terms), NOT
+O(Σ_q blocks(q)) — a 500-query batch ships each hot block once, where
+the first fan-out implementation shipped it once per query.
 
 Losslessness: θ is seeded from term metadata (qw·w10 lower-bounds the
 true GLOBAL kth total score — see operators/wand.py step 1) and grows
@@ -40,17 +45,13 @@ norm_lens: the per-doc BM25 normalization array is broadcast to
 executors — the reference's own deployment model (wand_data.hpp:55-58
 keeps norm_lens[] resident per node). 8 bytes/doc ⇒ 8 GB per 10^9
 docs per executor; beyond that, shard the norms table on the same doc
-ranges and cogroup it with the blocks (documented scale path; the
-kernel only reads norms[lo:hi]).
+ranges and cogroup it alongside (the kernel only reads norms[lo:hi]).
 
-Adaptive kernel: when the group's metadata proves pruning cannot skip
-anything (every term essential at θ_seed AND no block fails the
-block-max test — the ε-flat-idf corpus case), the kernel switches to a
-vectorized exhaustive merge (numpy unique/add.at) instead of paying
-the per-doc Python DAAT loop. Same results; the DAAT path engages
-exactly where pruning has something to prune. This mirrors AQE's
-runtime re-planning: decide from runtime statistics, per query, per
-shard.
+Adaptive kernel: the DAAT path runs only when ≥ DAAT_SKIP_FRACTION of
+the group's postings are provably skippable at θ_seed (the per-doc
+Python loop costs ~100× the vectorized numpy merge per VISITED
+posting); otherwise the kernel runs a batched-decode bincount merge.
+Per query, per shard — runtime re-planning from group statistics.
 """
 
 from __future__ import annotations
@@ -70,82 +71,129 @@ from dint_spark.operators.ranked import topk
 THETA_MARGIN = 2e-9
 SCORE_ROUND = 9
 
+DAAT_SKIP_FRACTION = 0.9  # DAAT only when ≥90% of postings are provably
+# skippable at θ_seed: the per-doc Python loop costs ~100× the
+# vectorized numpy merge per VISITED posting, so it only wins when it
+# visits a small tail (measured: 50-query batch on the 5.4M-posting
+# code corpus fell from ~60 q/s to ~1 q/s when DAAT engaged at "can
+# skip anything>0"; rare-anchored Zipf queries with ~98% skippable are
+# where DAAT beats exhaustive — and where the decode savings live).
+
+MIN_GROUP_POSTINGS = 4096  # 16 blocks: below this, sharding is overhead
+MIN_SHARD_DOCS = 2048  # static layout: ≥ ~8 blocks of doc span per shard
+
 
 # ---------------------------------------------------------------------------
-# per-term enumerator over compressed blocks (decode-on-demand)
+# per-shard term cache + per-term enumerator (decode-on-demand, memoized)
 # ---------------------------------------------------------------------------
+
+
+class _TermBlocks:
+    """One term's block arrays within a shard, shared across the batch's
+    queries, with decoded-block memo dicts (the shard server's working
+    set — decode each touched block at most once per shard per batch)."""
+
+    __slots__ = ("bases", "maxs", "ns", "bmw", "dbytes", "fbytes", "dcache", "fcache")
+
+    def __init__(self, bases, maxs, ns, bmw, dbytes, fbytes):
+        self.bases = bases    # int64[nb] block gap-chain seeds
+        self.maxs = maxs      # int64[nb] last docID per block
+        self.ns = ns          # int64[nb]
+        self.bmw = bmw        # float64[nb] block max weights (may be nan)
+        self.dbytes = dbytes
+        self.fbytes = fbytes
+        self.dcache: dict[int, np.ndarray] = {}  # bi → absolute docIDs
+        self.fcache: dict[int, np.ndarray] = {}  # bi → tf values
+
+
+def _term_cache(left: pd.DataFrame) -> dict[int, _TermBlocks]:
+    """Build the shard's term → _TermBlocks map ONCE per kernel call
+    (numpy boundary split — no per-term pandas groupby)."""
+    left = left.sort_values(["term_id", "block_id"])
+    tid = left["term_id"].to_numpy(dtype=np.int64)
+    bases = left["block_base"].to_numpy(dtype=np.int64)
+    maxs = left["block_max"].to_numpy(dtype=np.int64)
+    ns = left["n"].to_numpy(dtype=np.int64)
+    bmw = left["block_max_weight"].to_numpy(dtype=np.float64)
+    db = list(left["docs_bytes"])
+    fb = list(left["freqs_bytes"])
+    cache: dict[int, _TermBlocks] = {}
+    if not len(tid):
+        return cache
+    bounds = np.flatnonzero(np.diff(tid, prepend=tid[0] - 1))
+    bounds = np.append(bounds, len(tid))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        cache[int(tid[s])] = _TermBlocks(
+            bases[s:e], maxs[s:e], ns[s:e], bmw[s:e], db[s:e], fb[s:e]
+        )
+    return cache
 
 
 class _ListEnum:
-    """Posting-list enumerator for one term's blocks within a doc shard.
+    """Posting-list enumerator over a _TermBlocks slice.
 
     Blocks decode lazily: next_geq binary-searches block metadata
     (block_max) first and decodes only the landing block — the
     reference's dict_posting_list skip semantics
     (dict_posting_list.hpp:120-169), including lazy freqs (freqs of a
     block decode only when a candidate in it is actually scored).
+    Decoded arrays land in the shared _TermBlocks memo, so another
+    query in the same shard batch reuses them for free.
     """
 
-    __slots__ = (
-        "qw", "ub", "bases", "maxs", "ns", "bmw", "dbytes", "fbytes",
-        "codec", "bi", "docs", "tfs", "pos", "cur", "exhausted",
-        "stats",
-    )
+    __slots__ = ("qw", "ub", "tb", "codec", "bi", "docs", "tfs", "pos",
+                 "cur", "exhausted", "stats")
 
-    def __init__(self, qw, bases, maxs, ns, bmw, dbytes, fbytes, codec, stats):
+    def __init__(self, qw, tb: _TermBlocks, codec, stats):
         self.qw = qw
-        self.bases = bases          # int64[nb] block gap-chain seeds
-        self.maxs = maxs            # int64[nb] last docID per block
-        self.ns = ns                # int64[nb]
-        self.bmw = bmw              # float64[nb] block max weights (may be nan)
-        self.dbytes = dbytes
-        self.fbytes = fbytes
+        self.tb = tb
         self.codec = codec
-        self.bi = -1                # current block index
-        self.docs = None            # decoded docIDs of current block
-        self.tfs = None             # decoded tfs (lazy)
+        self.bi = -1
+        self.docs = None
+        self.tfs = None
         self.pos = 0
         self.cur = -1
         self.exhausted = False
-        self.stats = stats          # [total, docs_decoded, freqs_decoded]
+        self.stats = stats  # [blocks_total, docs_decoded, freqs_decoded]
         # term upper bound within this shard: max block_max_weight when
         # present (tighter than the global max_weight), scaled by qw
-        m = np.nanmax(bmw) if bmw.size else float("nan")
+        m = np.nanmax(tb.bmw) if tb.bmw.size else float("nan")
         self.ub = qw * (m if m == m else 1.0)  # nan → weight ≤ 1 bound
 
     def _enter_block(self, bi: int) -> None:
         self.bi = bi
-        gaps = self.codec.decode_docs(self.dbytes[bi], int(self.ns[bi]))
-        self.docs = np.cumsum(gaps.astype(np.int64) + 1) + (self.bases[bi])
+        tb = self.tb
+        docs = tb.dcache.get(bi)
+        if docs is None:
+            gaps = self.codec.decode_docs(tb.dbytes[bi], int(tb.ns[bi]))
+            docs = np.cumsum(gaps.astype(np.int64) + 1) + tb.bases[bi]
+            tb.dcache[bi] = docs
+            self.stats[1] += 1
+        self.docs = docs
         self.tfs = None
-        self.stats[1] += 1
 
     def freq(self) -> int:
         if self.tfs is None:
-            self.tfs = (
-                self.codec.decode_freqs(self.fbytes[self.bi], int(self.ns[self.bi]))
-                .astype(np.int64) + 1
-            )
-            self.stats[2] += 1
+            tb = self.tb
+            tfs = tb.fcache.get(self.bi)
+            if tfs is None:
+                tfs = (
+                    self.codec.decode_freqs(tb.fbytes[self.bi], int(tb.ns[self.bi]))
+                    .astype(np.int64) + 1
+                )
+                tb.fcache[self.bi] = tfs
+                self.stats[2] += 1
+            self.tfs = tfs
         return int(self.tfs[self.pos])
-
-    def block_max_score(self) -> float:
-        """qw · block_max_weight of the block that holds (or would hold)
-        cur — metadata only, no decode."""
-        w = self.bmw[self.bi] if self.bi >= 0 else np.nanmax(self.bmw)
-        return self.qw * (w if w == w else 1.0)
-
-    def current_block_last(self) -> int:
-        return int(self.maxs[self.bi])
 
     def next_geq(self, target: int) -> None:
         if self.exhausted:
             return
         if self.bi >= 0 and self.cur >= target:
             return
-        # find first block whose last docID >= target
-        bi = int(np.searchsorted(self.maxs, target))
-        if bi >= len(self.maxs):
+        maxs = self.tb.maxs
+        bi = int(np.searchsorted(maxs, target))
+        if bi >= len(maxs):
             self.exhausted = True
             self.cur = np.iinfo(np.int64).max
             return
@@ -159,7 +207,7 @@ class _ListEnum:
         self.pos += 1
         if self.docs is not None and self.pos < len(self.docs):
             self.cur = int(self.docs[self.pos])
-        elif self.bi + 1 < len(self.maxs):
+        elif self.bi + 1 < len(self.tb.maxs):
             self._enter_block(self.bi + 1)
             self.pos = 0
             self.cur = int(self.docs[0])
@@ -172,40 +220,33 @@ def _dtw(tf: float, norm_len: float) -> float:
     return tf / (tf + K1 * (1.0 - B + B * norm_len))
 
 
-# ---------------------------------------------------------------------------
-# per-(query, shard) kernels
-# ---------------------------------------------------------------------------
-
-
-def _build_enums(g: pd.DataFrame, codec, lo: int, hi: int, stats) -> list[_ListEnum]:
+def _make_enums(
+    qrows: list[tuple], cache: dict[int, _TermBlocks], codec, lo: int,
+    hi: int, stats,
+) -> list[_ListEnum]:
     enums = []
-    for term_id, rows in g.groupby("term_id", sort=False):
-        rows = rows.sort_values("block_id")
-        e = _ListEnum(
-            float(rows["qw"].iloc[0]),
-            rows["block_base"].to_numpy(dtype=np.int64),
-            rows["block_max"].to_numpy(dtype=np.int64),
-            rows["n"].to_numpy(dtype=np.int64),
-            rows["block_max_weight"].to_numpy(dtype=np.float64),
-            list(rows["docs_bytes"]),
-            list(rows["freqs_bytes"]),
-            codec,
-            stats,
-        )
-        stats[0] += len(rows)
+    for term_id, qw, _w10 in qrows:
+        tb = cache.get(int(term_id))
+        if tb is None:
+            continue
+        e = _ListEnum(float(qw), tb, codec, stats)
+        stats[0] += len(tb.ns)
         e.next_geq(lo)
         if not e.exhausted and e.cur < hi:
             enums.append(e)
     return enums
 
 
-def _theta_seed(g: pd.DataFrame) -> float:
+def _seed_from_rows(qrows: list[tuple]) -> float:
     """max over terms of qw·w10 − margin (see operators/wand.py step 1)."""
-    per_term = g.drop_duplicates("term_id")
-    v = (per_term["qw"] * per_term["w10"]).max()
-    if v != v:  # all-NaN (every term df < 10)
+    best = float("nan")
+    for _t, qw, w10 in qrows:
+        v = qw * w10
+        if v == v and not (best == best and best >= v):
+            best = v
+    if best != best:  # all-NaN (every term df < 10)
         return 0.0
-    return max(0.0, float(v) - THETA_MARGIN)
+    return max(0.0, best - THETA_MARGIN)
 
 
 def _push(heap: list, k: int, score: float, doc: int) -> None:
@@ -222,38 +263,106 @@ def _kth_theta(heap: list, k: int, seed: float) -> float:
     return max(seed, heap[0][0] - THETA_MARGIN)
 
 
+def _use_daat(enums: list[_ListEnum], theta: float, blocks: bool) -> bool:
+    """Estimate the fraction of postings θ_seed can skip; run the DAAT
+    kernel only when that dominates (else the vectorized merge wins).
+
+    Skippable ≈ postings of terms whose bound never reaches θ (their
+    docs surface only through cheap next_geq probes, never as pivots)
+    plus, for block-max WAND, postings of blocks failing the block-max
+    test. θ grows during execution, so this UNDERestimates the final
+    skip rate — the choice is conservative toward the vectorized path.
+    """
+    if theta <= 0.0 or not enums:
+        return False
+    total = sum(int(e.tb.ns.sum()) for e in enums)
+    if total == 0:
+        return False
+    sum_ub = sum(e.ub for e in enums)
+    skip = 0
+    for e in enums:
+        if e.ub < theta:
+            skip += int(e.tb.ns.sum())
+        elif blocks:
+            rest = sum_ub - e.ub
+            bmw = e.tb.bmw
+            m = ~np.isnan(bmw) & (e.qw * bmw + rest < theta)
+            skip += int(e.tb.ns[m].sum())
+    return skip >= DAAT_SKIP_FRACTION * total
+
+
+# ---------------------------------------------------------------------------
+# per-(query, shard) algorithm cores
+# ---------------------------------------------------------------------------
+
+
 def _exhaustive_merge(
     enums: list[_ListEnum], norms: np.ndarray, lo: int, hi: int, k: int
 ) -> list[tuple]:
-    """Vectorized exhaustive scoring for groups where metadata proves
-    pruning cannot skip anything (ε-flat scores). Decodes every block in
-    the shard once, aggregates with numpy, top-k by (rounded, -doc)."""
-    doc_parts, score_parts = [], []
+    """Vectorized exhaustive scoring for groups where pruning cannot
+    skip enough to pay for the per-doc DAAT loop. Uncached blocks decode
+    in ONE batched-decoder call (the lockstep DINT kernel where the
+    codec provides it); results land in the shard's memo so later
+    queries in the batch reuse them. Aggregation is a bincount over the
+    shard's contiguous doc range; top-k by (rounded, -doc)."""
+    jobs: list[tuple[_ListEnum, int]] = []  # (enum, bi) needing decode
+    parts: list[tuple[float, np.ndarray, np.ndarray]] = []  # (qw, docs, tfs)
     for e in enums:
-        for bi in range(len(e.maxs)):
-            if e.maxs[bi] < lo:
+        tb = e.tb
+        for bi in range(len(tb.maxs)):
+            if tb.maxs[bi] < lo:
                 continue
-            if e.bases[bi] + 1 >= hi:
+            if tb.bases[bi] + 1 >= hi:
                 break
-            if e.bi != bi or e.docs is None:
-                e._enter_block(bi)
-            e.pos = 0
-            e.tfs = None
-            tfs = (
-                e.codec.decode_freqs(e.fbytes[bi], int(e.ns[bi])).astype(np.int64) + 1
+            d, f = tb.dcache.get(bi), tb.fcache.get(bi)
+            if d is None or f is None:
+                jobs.append((e, bi))
+            else:
+                parts.append((e.qw, d, f))
+    if jobs:
+        c = jobs[0][0].codec
+        ns = np.asarray([int(e.tb.ns[bi]) for e, bi in jobs], dtype=np.int64)
+        dbufs = [e.tb.dbytes[bi] for e, bi in jobs]
+        fbufs = [e.tb.fbytes[bi] for e, bi in jobs]
+        if hasattr(c, "decode_docs_batch"):
+            gaps, offs = c.decode_docs_batch(dbufs, ns)
+            tfs_flat, _ = c.decode_freqs_batch(fbufs, ns)
+        else:
+            gaps = np.concatenate(
+                [c.decode_docs(b, int(n)) for b, n in zip(dbufs, ns)]
             )
+            tfs_flat = np.concatenate(
+                [c.decode_freqs(b, int(n)) for b, n in zip(fbufs, ns)]
+            )
+            offs = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        # segmented un-gap (same prefix-sum trick as decode_block_index)
+        g = gaps.astype(np.int64) + 1
+        cs = np.cumsum(g)
+        excl = np.where(offs > 0, cs[offs - 1], 0)
+        bases = np.asarray([int(e.tb.bases[bi]) for e, bi in jobs], dtype=np.int64)
+        docs_flat = cs + np.repeat(bases - excl, ns)
+        tfs_all = tfs_flat.astype(np.int64) + 1
+        for j, (e, bi) in enumerate(jobs):
+            s, t = int(offs[j]), int(offs[j] + ns[j])
+            d = docs_flat[s:t]
+            f = tfs_all[s:t]
+            e.tb.dcache[bi] = d
+            e.tb.fcache[bi] = f
+            e.stats[1] += 1
             e.stats[2] += 1
-            docs = e.docs
-            m = (docs >= lo) & (docs < hi)
-            d = docs[m]
-            tf = tfs[m].astype(np.float64)
-            w = e.qw * (tf / (tf + K1 * (1.0 - B + B * norms[d])))
-            doc_parts.append(d)
-            score_parts.append(w)
-    if not doc_parts:
+            parts.append((e.qw, d, f))
+    if not parts:
         return []
-    alld = np.concatenate(doc_parts)
-    alls = np.concatenate(score_parts)
+    alld = np.concatenate([d for _q, d, _f in parts])
+    tf = np.concatenate([f for _q, _d, f in parts]).astype(np.float64)
+    qws = np.concatenate(
+        [np.full(len(d), q, dtype=np.float64) for q, d, _f in parts]
+    )
+    m = (alld >= lo) & (alld < hi)
+    alld, tf, qws = alld[m], tf[m], qws[m]
+    if not alld.size:
+        return []
+    alls = qws * (tf / (tf + K1 * (1.0 - B + B * norms[alld])))
     span = hi - lo
     if span <= 1 << 24:
         # dense-array aggregation (bincount is C-speed, no sort): doc
@@ -272,41 +381,12 @@ def _exhaustive_merge(
     return [(int(uniq[i]), float(tot[i])) for i in order]
 
 
-def _prunable(enums: list[_ListEnum], theta: float, blocks: bool) -> bool:
-    """Can θ_seed skip ANYTHING in this group? False when the smallest
-    term bound already reaches θ (all terms essential from the start)
-    AND (for block-max WAND) no single block fails the block-max test —
-    the ε-flat-idf case, where DAAT degenerates to an exhaustive merge
-    with per-doc Python overhead and the vectorized path wins."""
-    if theta <= 0.0 or not enums:
-        return False
-    ubs = sorted(e.ub for e in enums)
-    if ubs[0] < theta:  # some term can start non-essential
-        return True
-    if not blocks:
-        return False
-    sum_ub = sum(ubs)
-    for e in enums:
-        rest = sum_ub - e.ub
-        bmw = e.bmw
-        ok = np.isnan(bmw) | (e.qw * bmw + rest >= theta)
-        if not ok.all():  # some block is skippable
-            return True
-    return False
-
-
-def _wand_group(
-    g: pd.DataFrame, codec, norms, universe: int, k: int,
+def _wand_core(
+    enums: list[_ListEnum], seed: float, norms, lo: int, hi: int, k: int,
     use_block_max: bool,
-) -> tuple[list[tuple], list[int]]:
-    stats = [0, 0, 0]
-    shard = int(g["_shard"].iloc[0])
-    shard_size = int(g["_shard_size"].iloc[0])
-    lo, hi = shard * shard_size, min((shard + 1) * shard_size, universe)
-    enums = _build_enums(g, codec, lo, hi, stats)
-    seed = _theta_seed(g)
-    if not _prunable(enums, seed, blocks=use_block_max):
-        return _exhaustive_merge(enums, norms, lo, hi, k), stats
+) -> list[tuple]:
+    if not _use_daat(enums, seed, blocks=use_block_max):
+        return _exhaustive_merge(enums, norms, lo, hi, k)
 
     heap: list[tuple] = []
     while True:
@@ -335,11 +415,12 @@ def _wand_group(
             # enum's block metadata to pivot_doc, sum block maxima
             bm_sum, boundary = 0.0, np.iinfo(np.int64).max
             for e in enums[: p + 1]:
-                bi = int(np.searchsorted(e.maxs, pivot_doc))
-                w = e.bmw[bi] if bi < len(e.bmw) else np.nan
+                maxs, bmw = e.tb.maxs, e.tb.bmw
+                bi = int(np.searchsorted(maxs, pivot_doc))
+                w = bmw[bi] if bi < len(bmw) else np.nan
                 bm_sum += e.qw * (w if w == w else 1.0)
-                if bi < len(e.maxs):
-                    boundary = min(boundary, int(e.maxs[bi]))
+                if bi < len(maxs):
+                    boundary = min(boundary, int(maxs[bi]))
             if bm_sum < theta:
                 # no doc in these blocks can reach θ: jump past the
                 # nearest block boundary (Ding-Suel d'+1 rule)
@@ -373,23 +454,17 @@ def _wand_group(
                 key=lambda e: e.ub,
             )
             big.next_geq(pivot_doc)
-    return [(-nd, raw) for _r, nd, raw in heap], stats
+    return [(-nd, raw) for _r, nd, raw in heap]
 
 
-def _maxscore_group(
-    g: pd.DataFrame, codec, norms, universe: int, k: int
-) -> tuple[list[tuple], list[int]]:
+def _maxscore_core(
+    enums: list[_ListEnum], seed: float, norms, lo: int, hi: int, k: int
+) -> list[tuple]:
     """Term-level MaxScore (queries.hpp:459-573): ascending-bound prefix
     is non-essential; DAAT over essential lists only; non-essential
     contributions added by next_geq probes with early termination."""
-    stats = [0, 0, 0]
-    shard = int(g["_shard"].iloc[0])
-    shard_size = int(g["_shard_size"].iloc[0])
-    lo, hi = shard * shard_size, min((shard + 1) * shard_size, universe)
-    enums = _build_enums(g, codec, lo, hi, stats)
-    seed = _theta_seed(g)
-    if not _prunable(enums, seed, blocks=False):
-        return _exhaustive_merge(enums, norms, lo, hi, k), stats
+    if not _use_daat(enums, seed, blocks=False):
+        return _exhaustive_merge(enums, norms, lo, hi, k)
 
     enums.sort(key=lambda e: e.ub)  # ascending bound
     prefix = np.cumsum([0.0] + [e.ub for e in enums])  # prefix[i] = Σ ub[<i]
@@ -424,16 +499,20 @@ def _maxscore_group(
                 score += e.qw * _dtw(float(e.freq()), nl)
         if score >= theta or len(heap) < k:
             _push(heap, k, score, d)
-    return [(-nd, raw) for r, nd, raw in heap], stats
+    return [(-nd, raw) for _r, nd, raw in heap]
+
+
+def _run_query(algo, qrows, cache, codec, norms, lo, hi, k, stats):
+    enums = _make_enums(qrows, cache, codec, lo, hi, stats)
+    seed = _seed_from_rows(qrows)
+    if algo == "maxscore":
+        return _maxscore_core(enums, seed, norms, lo, hi, k)
+    return _wand_core(enums, seed, norms, lo, hi, k, algo == "wand")
 
 
 # ---------------------------------------------------------------------------
 # the Spark operator
 # ---------------------------------------------------------------------------
-
-
-MIN_GROUP_POSTINGS = 4096  # 16 blocks: below this, sharding is overhead
-MIN_SHARD_DOCS = 2048  # static layout: ≥ ~8 blocks of doc span per shard
 
 
 def _static_shards(spark, universe: int) -> int:
@@ -445,70 +524,21 @@ def _static_shards(spark, universe: int) -> int:
     return max(1, min(par, universe // MIN_SHARD_DOCS or 1))
 
 
-def _query_block_groups(
-    idx: FullTextIndex,
-    bidx: DataFrame,
-    queries: DataFrame,
-    num_docs: int,
-    universe: int,
-    num_shards,
-) -> DataFrame:
-    """blocks ⋈ broadcast(query-term metadata), exploded to doc shards.
-
-    num_shards: None → static per-index layout (_static_shards);
-    an int → that fixed count (tests, decode-stats surface);
-    "auto" → PER-QUERY sizing, nsh = clamp(ceil(Σdf / MIN_GROUP_POSTINGS),
-    1, parallelism) from one window over the ≤|q|·16-row metadata frame.
-    Auto avoids decoding a rare query's straddling blocks once per shard
-    on heterogeneous batches, at ~0.3-0.5s of extra plan stages — worth
-    it for mixed rare/dense logs, overhead for uniform ones (measured at
-    sf0.1; the static layout is the default for that reason)."""
-    from pyspark.sql import Window as W
-
-    spark = queries.sparkSession
+def _qt_meta(idx: FullTextIndex, queries: DataFrame, num_docs: int) -> DataFrame:
     qt = query_terms(queries, dedup=False)
     qt = qt.join(F.broadcast(idx.vocab.select("term", "term_id", "df")), "term")
-    qt = qt.withColumn(
+    return qt.withColumn(
         "qw", query_term_weight(F.col("qtf"), F.col("df"), F.lit(num_docs))
     ).join(F.broadcast(idx.term_meta.select("term_id", "w10")), "term_id")
-    if num_shards == "auto":
-        par = max(1, spark.sparkContext.defaultParallelism)
-        w_q = W.partitionBy("query_id").rowsBetween(
-            W.unboundedPreceding, W.unboundedFollowing
-        )
-        tot = F.sum("df").over(w_q)
-        nsh = F.least(
-            F.lit(par),
-            F.greatest(F.lit(1), F.ceil(tot / F.lit(float(MIN_GROUP_POSTINGS)))),
-        ).cast("long")
-        qt_meta = qt.select(
-            "query_id",
-            "term_id",
-            "qw",
-            "w10",
-            F.ceil(F.lit(float(universe)) / nsh).cast("long").alias("_shard_size"),
-        )
-    else:
-        nsh = num_shards if num_shards is not None else _static_shards(spark, universe)
-        ss = -(-universe // max(1, int(nsh)))
-        qt_meta = qt.select(
-            "query_id", "term_id", "qw", "w10", F.lit(ss).alias("_shard_size")
-        )
-    return (
-        bidx.join(F.broadcast(qt_meta), "term_id")
-        .withColumn(
-            "_shard",
-            F.explode(
-                F.sequence(
-                    F.greatest(
-                        F.floor(
-                            (F.col("block_base") + F.lit(1)) / F.col("_shard_size")
-                        ),
-                        F.lit(0),
-                    ),
-                    F.floor(F.col("block_max") / F.col("_shard_size")),
-                )
+
+
+def _shard_col(shard_size) -> F.Column:
+    return F.explode(
+        F.sequence(
+            F.greatest(
+                F.floor((F.col("block_base") + F.lit(1)) / shard_size), F.lit(0)
             ),
+            F.floor(F.col("block_max") / shard_size),
         )
     )
 
@@ -545,26 +575,162 @@ def maxscore_topk_sharded(
 
 
 def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo):
+    if num_shards == "auto":
+        return _run_fanout(
+            idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo
+        )
     spark = queries.sparkSession
     # the docID universe (max assigned id + 1) can exceed num_docs when
     # ids are not dense (docs with no tokens leave holes); sharding and
     # clipping must cover the universe or trailing docs vanish
     universe = len(norms.value)
-    groups = _query_block_groups(idx, bidx, queries, num_docs, universe, num_shards)
+    nsh = int(num_shards) if num_shards is not None else _static_shards(
+        spark, universe
+    )
+    ss = -(-universe // max(1, nsh))  # ceil
+    qt = _qt_meta(idx, queries, num_docs).select("query_id", "term_id", "qw", "w10")
+    # index slice ships ONCE: blocks of the batch's terms, deduped
+    blocks_sh = bidx.join(
+        F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
+    ).withColumn("_shard", _shard_col(ss))
+    qx = qt.crossJoin(
+        F.broadcast(spark.range(nsh).select(F.col("id").alias("_shard")))
+    )
     codec_bc = spark.sparkContext.broadcast(codec)
     norms_bc = norms  # already a Broadcast[np.ndarray]
+
+    def kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+        if not len(right):
+            return empty
+        shard = int(key[0])
+        lo, hi = shard * ss, min((shard + 1) * ss, universe)
+        c, nv = codec_bc.value, norms_bc.value
+        cache = _term_cache(left) if len(left) else {}
+        qids, docs_out, scores_out = [], [], []
+        tids = right["term_id"].to_numpy(dtype=np.int64)
+        qws = right["qw"].to_numpy(dtype=np.float64)
+        w10s = right["w10"].to_numpy(dtype=np.float64)
+        q_arr = right["query_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(q_arr, kind="stable")
+        bounds = np.flatnonzero(
+            np.diff(q_arr[order], prepend=q_arr[order[0]] - 1)
+        )
+        bounds = np.append(bounds, len(order))
+        for s_i, e_i in zip(bounds[:-1], bounds[1:]):
+            sel = order[s_i:e_i]
+            qid = int(q_arr[sel[0]])
+            qrows = [
+                (int(tids[i]), float(qws[i]), float(w10s[i])) for i in sel
+            ]
+            stats = [0, 0, 0]
+            rows = _run_query(algo, qrows, cache, c, nv, lo, hi, k, stats)
+            for d, sc in rows:
+                qids.append(qid)
+                docs_out.append(d)
+                scores_out.append(sc)
+        if not qids:
+            return empty
+        return pd.DataFrame(
+            {"query_id": qids, "doc_id": docs_out, "score": scores_out}
+        )
+
+    local = (
+        blocks_sh.groupBy("_shard")
+        .cogroup(qx.groupBy("_shard"))
+        .applyInPandas(kernel, "query_id long, doc_id long, score double")
+    )
+    return topk(local, k)
+
+
+# ---------------------------------------------------------------------------
+# per-query fan-out path: "auto" shard sizing + the decode-stats surface
+# ---------------------------------------------------------------------------
+
+
+def _query_block_groups(
+    idx: FullTextIndex,
+    bidx: DataFrame,
+    queries: DataFrame,
+    num_docs: int,
+    universe: int,
+    num_shards,
+) -> DataFrame:
+    """blocks ⋈ broadcast(query-term metadata), exploded to doc shards —
+    block payloads fan out PER QUERY (the cogroup path above avoids
+    that; this path exists for per-query shard sizing and for per-query
+    decode statistics).
+
+    num_shards: "auto" → PER-QUERY sizing, nsh =
+    clamp(ceil(Σdf / MIN_GROUP_POSTINGS), 1, parallelism) from one
+    window over the ≤|q|·16-row metadata frame — avoids decoding a rare
+    query's straddling blocks once per shard on heterogeneous batches,
+    at ~0.3-0.5s of extra plan stages. int → fixed count. None → static
+    layout."""
+    from pyspark.sql import Window as W
+
+    spark = queries.sparkSession
+    qt = _qt_meta(idx, queries, num_docs)
+    if num_shards == "auto":
+        par = max(1, spark.sparkContext.defaultParallelism)
+        w_q = W.partitionBy("query_id").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        tot = F.sum("df").over(w_q)
+        nsh = F.least(
+            F.lit(par),
+            F.greatest(F.lit(1), F.ceil(tot / F.lit(float(MIN_GROUP_POSTINGS)))),
+        ).cast("long")
+        qt_meta = qt.select(
+            "query_id",
+            "term_id",
+            "qw",
+            "w10",
+            F.ceil(F.lit(float(universe)) / nsh).cast("long").alias("_shard_size"),
+        )
+    else:
+        nsh = num_shards if num_shards is not None else _static_shards(spark, universe)
+        ss = -(-universe // max(1, int(nsh)))
+        qt_meta = qt.select(
+            "query_id", "term_id", "qw", "w10", F.lit(ss).alias("_shard_size")
+        )
+    return bidx.join(F.broadcast(qt_meta), "term_id").withColumn(
+        "_shard", _shard_col(F.col("_shard_size"))
+    )
+
+
+def _fanout_group_inputs(gdf: pd.DataFrame):
+    """One per-(query, shard) pandas group → (qrows, cache, lo, hi)."""
+    shard = int(gdf["_shard"].iloc[0])
+    shard_size = int(gdf["_shard_size"].iloc[0])
+    per_term = gdf.drop_duplicates("term_id")
+    qrows = [
+        (int(r.term_id), float(r.qw), float(r.w10))
+        for r in per_term.itertuples(index=False)
+    ]
+    cache = _term_cache(gdf)
+    return qrows, cache, shard, shard_size
+
+
+def _run_fanout(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo):
+    spark = queries.sparkSession
+    universe = len(norms.value)
+    groups = _query_block_groups(idx, bidx, queries, num_docs, universe, num_shards)
+    codec_bc = spark.sparkContext.broadcast(codec)
+    norms_bc = norms
 
     def kernel(gdf: pd.DataFrame) -> pd.DataFrame:
         if not len(gdf):
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
         c, nv = codec_bc.value, norms_bc.value
         qid = int(gdf["query_id"].iloc[0])
-        if algo == "maxscore":
-            rows, _ = _maxscore_group(gdf, c, nv, universe, k)
-        else:
-            rows, _ = _wand_group(
-                gdf, c, nv, universe, k, algo == "wand"
-            )
+        qrows, cache, shard, ss = _fanout_group_inputs(gdf)
+        lo, hi = shard * ss, min((shard + 1) * ss, universe)
+        rows = _run_query(algo, qrows, cache, c, nv, lo, hi, k, [0, 0, 0])
         return pd.DataFrame(
             {
                 "query_id": qid,
@@ -585,7 +751,8 @@ def wand_sharded_decode_stats(
 ) -> DataFrame:
     """(query_id, shard, blocks_total, blocks_docs_decoded,
     blocks_freqs_decoded) — the pruning evidence surface (reference
-    analog: the profiled decode counts, block_profiler)."""
+    analog: the profiled decode counts, block_profiler). Uses the
+    per-query fan-out path so counts are attributable per query."""
     spark = queries.sparkSession
     universe = len(norms.value)
     groups = _query_block_groups(idx, bidx, queries, num_docs, universe, num_shards)
@@ -595,18 +762,17 @@ def wand_sharded_decode_stats(
     def kernel(gdf: pd.DataFrame) -> pd.DataFrame:
         c, nv = codec_bc.value, norms_bc.value
         qid = int(gdf["query_id"].iloc[0])
-        shard = int(gdf["_shard"].iloc[0])
-        if algo == "maxscore":
-            _, st = _maxscore_group(gdf, c, nv, universe, k)
-        else:
-            _, st = _wand_group(gdf, c, nv, universe, k, True)
+        qrows, cache, shard, ss = _fanout_group_inputs(gdf)
+        lo, hi = shard * ss, min((shard + 1) * ss, universe)
+        stats = [0, 0, 0]
+        _run_query(algo, qrows, cache, c, nv, lo, hi, k, stats)
         return pd.DataFrame(
             {
                 "query_id": [qid],
                 "shard": [shard],
-                "blocks_total": [st[0]],
-                "blocks_docs_decoded": [st[1]],
-                "blocks_freqs_decoded": [st[2]],
+                "blocks_total": [stats[0]],
+                "blocks_docs_decoded": [stats[1]],
+                "blocks_freqs_decoded": [stats[2]],
             }
         )
 

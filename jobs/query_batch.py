@@ -62,16 +62,31 @@ def main() -> None:
             return ranked_or(postings, qdf, vocab, num_docs, k=args.k).count()
         if args.op == "ranked_and":
             return ranked_and(postings, qdf, vocab, num_docs, k=args.k).count()
-        if args.op == "wand":
-            from dint_spark.build.blocks import build_block_index
+        if args.op in ("wand", "wand_twophase", "maxscore"):
             from dint_spark.build.dint_build import DintModel
             from dint_spark.codecs.registry import get_codec
-            from dint_spark.operators.wand import wand_topk
 
             model = DintModel.load(spark, os.path.join(args.index, "dint_model"))
             codec = get_codec("single_packed_dint", model)
             bidx = materialize(spark.read.parquet(os.path.join(args.index, "index")))
-            return wand_topk(idx, bidx, codec, qdf, num_docs, k=args.k).count()
+            if args.op == "wand_twophase":
+                from dint_spark.operators.wand import wand_topk
+
+                return wand_topk(idx, bidx, codec, qdf, num_docs, k=args.k).count()
+            import numpy as np
+
+            from dint_spark.operators.wand_shard import (
+                maxscore_topk_sharded,
+                wand_topk_sharded,
+            )
+
+            rows = docs.select("doc_id", "norm_len").collect()
+            arr = np.zeros(max(r["doc_id"] for r in rows) + 1, dtype=np.float64)
+            for r in rows:
+                arr[r["doc_id"]] = r["norm_len"]
+            norms = spark.sparkContext.broadcast(arr)
+            fn = wand_topk_sharded if args.op == "wand" else maxscore_topk_sharded
+            return fn(idx, bidx, codec, qdf, num_docs, norms, k=args.k).count()
         if args.op == "and":
             return and_query(postings, qdf).count()
         if args.op == "or":
