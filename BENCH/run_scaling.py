@@ -215,11 +215,16 @@ width (small per-selector dicts → 1-byte codewords).
 
 WAND/MaxScore pruning evidence: BENCH/wand_pruning.json
 (`python BENCH/wand_pruning.py`) — on a 200k-doc Zipf corpus the
-sharded DAAT kernel decodes 19-21% of handed blocks on rare-anchored
-queries and beats exhaustive ranked_or-over-index 2.9s vs 4.8s on that
-subset; the driver sf corpora are ε-flat (every term dense → idf
-clamped) where NO score-based pruning can skip work, and the kernel's
-metadata check routes those to the vectorized exhaustive path.
+sharded DAAT kernel decodes 19-21% of handed doc blocks (4.5-14% of
+freq blocks) on rare-anchored queries and beats exhaustive
+ranked_or-over-index on the full mixed batch (2.9s vs 3.9s) and the
+selective subset (2.4s vs 2.7s). On the 5.4M-posting scaling corpus,
+500-query batch at local[8]: wand 27.4 q/s, maxscore 26.5 q/s vs
+ranked_or 16.1 q/s — pruned ops beat exhaustive by ~1.7× at the
+reference's own workload size. The driver sf corpora are ε-flat
+(every term dense → idf clamped) where NO score-based pruning can
+skip work; the kernel's metadata check routes those groups to the
+vectorized exhaustive path.
 
 Prefix-packing (B5, BENCH/pack_report_50k.json,
 `python tools/pack_report.py`): on the 50k-corpus dictionaries,

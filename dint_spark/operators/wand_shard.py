@@ -305,8 +305,9 @@ def _exhaustive_merge(
     codec provides it); results land in the shard's memo so later
     queries in the batch reuse them. Aggregation is a bincount over the
     shard's contiguous doc range; top-k by (rounded, -doc)."""
-    jobs: list[tuple[_ListEnum, int]] = []  # (enum, bi) needing decode
-    parts: list[tuple[float, np.ndarray, np.ndarray]] = []  # (qw, docs, tfs)
+    blocks: list[tuple[_ListEnum, int]] = []
+    need_d: list[tuple[_ListEnum, int]] = []
+    need_f: list[tuple[_ListEnum, int]] = []
     for e in enums:
         tb = e.tb
         for bi in range(len(tb.maxs)):
@@ -314,43 +315,53 @@ def _exhaustive_merge(
                 continue
             if tb.bases[bi] + 1 >= hi:
                 break
-            d, f = tb.dcache.get(bi), tb.fcache.get(bi)
-            if d is None or f is None:
-                jobs.append((e, bi))
-            else:
-                parts.append((e.qw, d, f))
-    if jobs:
-        c = jobs[0][0].codec
-        ns = np.asarray([int(e.tb.ns[bi]) for e, bi in jobs], dtype=np.int64)
-        dbufs = [e.tb.dbytes[bi] for e, bi in jobs]
-        fbufs = [e.tb.fbytes[bi] for e, bi in jobs]
+            blocks.append((e, bi))
+            if bi not in tb.dcache:
+                need_d.append((e, bi))
+            if bi not in tb.fcache:
+                need_f.append((e, bi))
+    if need_d:
+        c = need_d[0][0].codec
+        ns = np.asarray([int(e.tb.ns[bi]) for e, bi in need_d], dtype=np.int64)
+        dbufs = [e.tb.dbytes[bi] for e, bi in need_d]
         if hasattr(c, "decode_docs_batch"):
             gaps, offs = c.decode_docs_batch(dbufs, ns)
-            tfs_flat, _ = c.decode_freqs_batch(fbufs, ns)
         else:
             gaps = np.concatenate(
                 [c.decode_docs(b, int(n)) for b, n in zip(dbufs, ns)]
-            )
-            tfs_flat = np.concatenate(
-                [c.decode_freqs(b, int(n)) for b, n in zip(fbufs, ns)]
             )
             offs = np.concatenate(([0], np.cumsum(ns)[:-1]))
         # segmented un-gap (same prefix-sum trick as decode_block_index)
         g = gaps.astype(np.int64) + 1
         cs = np.cumsum(g)
         excl = np.where(offs > 0, cs[offs - 1], 0)
-        bases = np.asarray([int(e.tb.bases[bi]) for e, bi in jobs], dtype=np.int64)
+        bases = np.asarray(
+            [int(e.tb.bases[bi]) for e, bi in need_d], dtype=np.int64
+        )
         docs_flat = cs + np.repeat(bases - excl, ns)
-        tfs_all = tfs_flat.astype(np.int64) + 1
-        for j, (e, bi) in enumerate(jobs):
+        for j, (e, bi) in enumerate(need_d):
             s, t = int(offs[j]), int(offs[j] + ns[j])
-            d = docs_flat[s:t]
-            f = tfs_all[s:t]
-            e.tb.dcache[bi] = d
-            e.tb.fcache[bi] = f
+            e.tb.dcache[bi] = docs_flat[s:t]
             e.stats[1] += 1
+    if need_f:
+        c = need_f[0][0].codec
+        ns = np.asarray([int(e.tb.ns[bi]) for e, bi in need_f], dtype=np.int64)
+        fbufs = [e.tb.fbytes[bi] for e, bi in need_f]
+        if hasattr(c, "decode_freqs_batch"):
+            tfs_flat, offs = c.decode_freqs_batch(fbufs, ns)
+        else:
+            tfs_flat = np.concatenate(
+                [c.decode_freqs(b, int(n)) for b, n in zip(fbufs, ns)]
+            )
+            offs = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        tfs_all = tfs_flat.astype(np.int64) + 1
+        for j, (e, bi) in enumerate(need_f):
+            s, t = int(offs[j]), int(offs[j] + ns[j])
+            e.tb.fcache[bi] = tfs_all[s:t]
             e.stats[2] += 1
-            parts.append((e.qw, d, f))
+    parts = [
+        (e.qw, e.tb.dcache[bi], e.tb.fcache[bi]) for e, bi in blocks
+    ]
     if not parts:
         return []
     alld = np.concatenate([d for _q, d, _f in parts])
