@@ -145,6 +145,14 @@ def q_ft_maxscore_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxscore_topk(idx, bidx, codec, _queries(spark), idx.num_docs, k=10)
 
 
+def q_ft_freqs_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 freqs_sum: per-posting-list Σtf (one partial+final hash agg)."""
+    idx = _idx(spark, sf_dir)
+    return idx.postings.groupBy("term_id").agg(
+        F.sum("tf").cast("long").alias("freqs_sum")
+    )
+
+
 def q_ft_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode the DINT-compressed block index → must equal the oracle's
     postings exactly (verify_collection semantics, B9)."""
@@ -321,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ranked_or": q_ft_ranked_or,
         "ft_ranked_and": q_ft_ranked_and,
         "ft_intersect_pair": q_ft_intersect_pair,
+        "ft_freqs_sum": q_ft_freqs_sum,
         "ft_wand": q_ft_wand,
         "ft_maxscore": q_ft_maxscore,
         "ft_wand_twophase": q_ft_wand_twophase,
@@ -360,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ranked_or": S.RANKED_OR,
         "ft_ranked_and": S.RANKED_AND,
         "ft_intersect_pair": S.intersect_pair_sql("hash", "join"),
+        "ft_freqs_sum": S.FREQS_SUM,
         "ft_wand": S.RANKED_OR,  # pruning must be lossless
         "ft_maxscore": S.RANKED_OR,
         "ft_wand_twophase": S.RANKED_OR,

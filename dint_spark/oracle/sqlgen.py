@@ -162,3 +162,11 @@ SELECT a.doc_id FROM
 
 def intersect_pair_sql(term_a: str, term_b: str) -> str:
     return INTERSECT_PAIR.format(ta=term_a, tb=term_b)
+
+# A1 freqs_sum: per-list Σtf (the reference's per-list frequency total,
+# used by its stats surfaces; trivial but part of the operator inventory)
+FREQS_SUM = PREAMBLE + """
+SELECT v.term_id, sum(p.tf)::BIGINT AS freqs_sum
+FROM post p JOIN vocab v USING (term)
+GROUP BY v.term_id
+"""
