@@ -153,6 +153,20 @@ def q_ft_freqs_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_vroom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 vroom encoded streams: postings → per-list (n, universe)
+    VByte-headered docs+freqs records → decode → re-pair on the
+    within-list ordinal. Must equal the oracle's postings exactly
+    (check_encoded_data semantics, vroom_env/check_encoded_data.cpp)."""
+    from dint_spark.codecs.registry import get_codec
+    from dint_spark.vroom_stream import vroom_roundtrip_postings
+
+    idx = _idx(spark, sf_dir)
+    return vroom_roundtrip_postings(
+        idx.postings.select("term_id", "doc_id", "tf"), get_codec("block_vbyte")
+    )
+
+
 def q_ft_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode the DINT-compressed block index → must equal the oracle's
     postings exactly (verify_collection semantics, B9)."""
@@ -330,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ranked_and": q_ft_ranked_and,
         "ft_intersect_pair": q_ft_intersect_pair,
         "ft_freqs_sum": q_ft_freqs_sum,
+        "ft_vroom_roundtrip": q_ft_vroom_roundtrip,
         "ft_wand": q_ft_wand,
         "ft_maxscore": q_ft_maxscore,
         "ft_wand_twophase": q_ft_wand_twophase,
@@ -370,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ranked_and": S.RANKED_AND,
         "ft_intersect_pair": S.intersect_pair_sql("hash", "join"),
         "ft_freqs_sum": S.FREQS_SUM,
+        "ft_vroom_roundtrip": S.POSTINGS,
         "ft_wand": S.RANKED_OR,  # pruning must be lossless
         "ft_maxscore": S.RANKED_OR,
         "ft_wand_twophase": S.RANKED_OR,

@@ -116,9 +116,9 @@ def decode_vroom_stream(
     codec_bc = spark.sparkContext.broadcast(codec)
     dec_name = "decode_docs" if stream == "docs" else "decode_freqs"
     out_schema = (
-        "term_id long, doc_id long"
+        "term_id long, pos long, doc_id long"
         if stream == "docs"
-        else "term_id long, tf long"
+        else "term_id long, pos long, tf long"
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,22 +135,40 @@ def decode_vroom_stream(
                 vals = getattr(c, dec_name)(buf[hlen:], n)
                 if len(vals) != n:
                     raise ValueError("vroom payload length mismatch")
+                pos = np.arange(n, dtype=np.int64)
                 if stream == "docs":
                     docs = np.cumsum(vals.astype(np.int64) + 1) - 1
                     if int(vals.sum()) != universe:
                         raise ValueError("vroom universe mismatch")
                     yield pd.DataFrame(
-                        {"term_id": int(r.term_id), "doc_id": docs}
+                        {"term_id": int(r.term_id), "pos": pos, "doc_id": docs}
                     )
                 else:
                     yield pd.DataFrame(
                         {
                             "term_id": int(r.term_id),
+                            "pos": pos,
                             "tf": vals.astype(np.int64) + 1,
                         }
                     )
 
     return stream_df.mapInPandas(kernel, out_schema)
+
+
+def vroom_roundtrip_postings(postings: DataFrame, codec) -> DataFrame:
+    """postings → paired vroom docs+freqs streams → postings.
+
+    The full check_encoded_data loop (vroom_env/check_encoded_data.cpp:
+    20-120) as a driver-gate query: both streams encode per list, decode
+    back, and re-pair on the within-list ordinal (`pos` — both streams
+    are docID-ordered by construction, the format's pairing contract,
+    binary_freq_collection.hpp:11-99). The result must equal the input
+    postings exactly (same oracle as the block-index round-trip)."""
+    d = decode_vroom_stream(encode_vroom_stream(postings, codec, "docs"), codec, "docs")
+    f = decode_vroom_stream(
+        encode_vroom_stream(postings, codec, "freqs"), codec, "freqs"
+    )
+    return d.join(f, ["term_id", "pos"]).select("term_id", "doc_id", "tf")
 
 
 def write_vroom_file(stream_df: DataFrame, path: str) -> int:

@@ -16,7 +16,7 @@ def test_vroom_docs_roundtrip(spark, random_postings, codec_name):
 
     codec = get_codec(codec_name)
     st = encode_vroom_stream(random_postings, codec, "docs")
-    back = decode_vroom_stream(st, codec, "docs")
+    back = decode_vroom_stream(st, codec, "docs").select("term_id", "doc_id")
     truth = random_postings.select("term_id", "doc_id")
     assert back.exceptAll(truth).count() == 0
     assert truth.exceptAll(back).count() == 0
@@ -37,7 +37,7 @@ def test_vroom_freqs_roundtrip(spark, random_postings):
 
     codec = get_codec("block_vbyte")
     st = encode_vroom_stream(random_postings, codec, "freqs")
-    back = decode_vroom_stream(st, codec, "freqs")
+    back = decode_vroom_stream(st, codec, "freqs").select("term_id", "tf")
     got = sorted((r["term_id"], r["tf"]) for r in back.collect())
     exp = sorted((r["term_id"], r["tf"]) for r in random_postings.collect())
     assert got == exp
@@ -73,3 +73,16 @@ def test_vroom_file_roundtrip(spark, random_postings, tmp_path):
     # and the re-read table still decodes (ids are positional)
     n_back = decode_vroom_stream(back, codec, "docs").count()
     assert n_back == random_postings.count()
+
+
+def test_vroom_roundtrip_postings(spark, random_postings):
+    """Paired docs+freqs streams re-pair on the within-list ordinal and
+    reproduce the postings exactly (the full check_encoded_data loop)."""
+    from dint_spark.codecs.registry import get_codec
+    from dint_spark.vroom_stream import vroom_roundtrip_postings
+
+    codec = get_codec("block_vbyte")
+    back = vroom_roundtrip_postings(random_postings, codec)
+    truth = random_postings.select("term_id", "doc_id", "tf")
+    assert back.exceptAll(truth).count() == 0
+    assert truth.exceptAll(back).count() == 0
