@@ -146,15 +146,23 @@ def main() -> None:
         "freqs_bpi": b["index"]["freqs_bpi"],
     }
 
+    # the wand workload runs a 4× batch: its cogroup kernel amortizes
+    # fixed stage costs across queries, and at 500 queries the job is
+    # overhead-dominated at both levels (scaling would measure Spark
+    # fixed costs, not the kernel)
+    wand_queries = 4 * args.queries
     for cpus in LEVELS:
         lvl = {}
-        for work, op in (("query", "ranked_or"), ("wand", "wand")):
+        for work, op, nq in (
+            ("query", "ranked_or", args.queries),
+            ("wand", "wand", wand_queries),
+        ):
             best = None
             for _ in range(3):
                 r = run_job(
                     "jobs/query_batch.py", cpus,
                     ["--index", shared_idx, "--op", op,
-                     "--queries", str(args.queries), "--repeats", "1"],
+                     "--queries", str(nq), "--repeats", "1"],
                 )
                 if best is None or r["qps"] > best["qps"]:
                     best = r
@@ -195,7 +203,7 @@ hardware-linear regime.
 | workload | local[2] | local[8] | speedup (4× cores) | efficiency |
 |---|---|---|---|---|
 | BM25 ranked top-10 batch, {args.queries:,} queries (q/s) | {results[lo]['query']['qps']} | {results[hi]['query']['qps']} | {results['query_speedup']}× | {results['query_efficiency']} |
-| sharded block-max WAND top-10, same batch (q/s) | {results[lo]['wand']['qps']} | {results[hi]['wand']['qps']} | {results['wand_speedup']}× | {results['wand_efficiency']} |
+| sharded block-max WAND top-10, {4 * args.queries:,} queries (q/s) | {results[lo]['wand']['qps']} | {results[hi]['wand']['qps']} | {results['wand_speedup']}× | {results['wand_efficiency']} |
 | DINT full-index decode (postings/s) | {results[lo]['decode']['postings_per_sec']:,} | {results[hi]['decode']['postings_per_sec']:,} | {results['decode_speedup']}× | {results['decode_efficiency']} |
 
 Compression (learned dictionaries, this corpus): docs {bi['docs_bpi']}

@@ -47,11 +47,12 @@ keeps norm_lens[] resident per node). 8 bytes/doc ⇒ 8 GB per 10^9
 docs per executor; beyond that, shard the norms table on the same doc
 ranges and cogroup it alongside (the kernel only reads norms[lo:hi]).
 
-Adaptive kernel: the DAAT path runs only when ≥ DAAT_SKIP_FRACTION of
-the group's postings are provably skippable at θ_seed (the per-doc
-Python loop costs ~100× the vectorized numpy merge per VISITED
-posting); otherwise the kernel runs a batched-decode bincount merge.
-Per query, per shard — runtime re-planning from group statistics.
+Adaptive kernel: a COST MODEL (C_PIVOT / C_VEC / C_DECODE below)
+chooses per query, per shard between the DAAT path and a batched-decode
+bincount merge — DAAT runs when its pivot work undercuts the vectorized
+merge plus the decode credit for blocks the merge would decode but DAAT
+skips. Runtime re-planning from group statistics, like a cost-based
+optimizer.
 """
 
 from __future__ import annotations
@@ -70,17 +71,30 @@ from dint_spark.operators.ranked import topk
 
 THETA_MARGIN = 2e-9
 SCORE_ROUND = 9
+INT64_MAX = np.iinfo(np.int64).max
 
-DAAT_SKIP_FRACTION = 0.9  # DAAT only when ≥90% of postings are provably
-# skippable at θ_seed: the per-doc Python loop costs ~100× the
-# vectorized numpy merge per VISITED posting, so it only wins when it
-# visits a small tail (measured: 50-query batch on the 5.4M-posting
-# code corpus fell from ~60 q/s to ~1 q/s when DAAT engaged at "can
-# skip anything>0"; rare-anchored Zipf queries with ~98% skippable are
-# where DAAT beats exhaustive — and where the decode savings live).
+# Cost model for the per-(query, shard) DAAT-vs-vectorized choice —
+# constants measured on this host (tools/wand_phases.py profiling):
+C_PIVOT = 20e-6   # sec per DAAT pivot iteration (sort + bound scan + probes)
+C_VEC = 0.05e-6   # sec per posting through the bincount merge
+C_DECODE = 30e-6  # sec per block decode (DINT lockstep, amortized)
+# DAAT wins only when its pivot work (≈ postings of pivot-capable lists,
+# the ones whose bound reaches θ_seed) undercuts the vectorized merge
+# PLUS the decode credit for blocks the merge would have to decode but
+# DAAT would never touch. With the shard's shared decoded-block memo, a
+# hot block decoded by ANY query in the batch is free for the rest — so
+# on large batches the credit evaporates and the vectorized path wins
+# (measured: a skip-fraction heuristic that ignored decode state ran the
+# 500-query code-corpus batch 3× slower than all-vectorized), while on
+# small selective batches cold-block credit makes DAAT win (the Zipf
+# bench). This is the same decision a cost-based optimizer makes, from
+# runtime statistics, per query, per shard.
 
 MIN_GROUP_POSTINGS = 4096  # 16 blocks: below this, sharding is overhead
-MIN_SHARD_DOCS = 2048  # static layout: ≥ ~8 blocks of doc span per shard
+MIN_SHARD_DOCS = 6144  # static layout: ~24 blocks of doc span per shard
+# (measured sweet spot on the 5.4M-posting corpus: smaller shards
+# multiply the per-(query,shard) kernel setup, larger ones under-tile)
+MAX_STATIC_SHARDS = 32  # keep per-(query,shard) python overhead bounded
 
 
 # ---------------------------------------------------------------------------
@@ -93,7 +107,8 @@ class _TermBlocks:
     queries, with decoded-block memo dicts (the shard server's working
     set — decode each touched block at most once per shard per batch)."""
 
-    __slots__ = ("bases", "maxs", "ns", "bmw", "dbytes", "fbytes", "dcache", "fcache")
+    __slots__ = ("bases", "maxs", "ns", "bmw", "dbytes", "fbytes",
+                 "dcache", "fcache", "max_bmw", "ns_total")
 
     def __init__(self, bases, maxs, ns, bmw, dbytes, fbytes):
         self.bases = bases    # int64[nb] block gap-chain seeds
@@ -104,6 +119,11 @@ class _TermBlocks:
         self.fbytes = fbytes
         self.dcache: dict[int, np.ndarray] = {}  # bi → absolute docIDs
         self.fcache: dict[int, np.ndarray] = {}  # bi → tf values
+        # per-shard constants computed ONCE, shared by every query of
+        # the batch (keeps per-(query,shard) setup O(|terms|) python ops)
+        m = np.nanmax(bmw) if bmw.size else float("nan")
+        self.max_bmw = m if m == m else 1.0  # nan → weight ≤ 1 bound
+        self.ns_total = int(ns.sum())
 
 
 def _term_cache(left: pd.DataFrame) -> dict[int, _TermBlocks]:
@@ -157,8 +177,7 @@ class _ListEnum:
         self.stats = stats  # [blocks_total, docs_decoded, freqs_decoded]
         # term upper bound within this shard: max block_max_weight when
         # present (tighter than the global max_weight), scaled by qw
-        m = np.nanmax(tb.bmw) if tb.bmw.size else float("nan")
-        self.ub = qw * (m if m == m else 1.0)  # nan → weight ≤ 1 bound
+        self.ub = qw * tb.max_bmw
 
     def _enter_block(self, bi: int) -> None:
         self.bi = bi
@@ -192,14 +211,14 @@ class _ListEnum:
         if self.bi >= 0 and self.cur >= target:
             return
         maxs = self.tb.maxs
-        bi = int(np.searchsorted(maxs, target))
+        bi = int(maxs.searchsorted(target))
         if bi >= len(maxs):
             self.exhausted = True
-            self.cur = np.iinfo(np.int64).max
+            self.cur = INT64_MAX
             return
         if bi != self.bi or self.docs is None:
             self._enter_block(bi)
-        self.pos = int(np.searchsorted(self.docs, target))
+        self.pos = int(self.docs.searchsorted(target))
         # target ≤ block_max guarantees pos < n
         self.cur = int(self.docs[self.pos])
 
@@ -213,7 +232,7 @@ class _ListEnum:
             self.cur = int(self.docs[0])
         else:
             self.exhausted = True
-            self.cur = np.iinfo(np.int64).max
+            self.cur = INT64_MAX
 
 
 def _dtw(tf: float, norm_len: float) -> float:
@@ -264,31 +283,30 @@ def _kth_theta(heap: list, k: int, seed: float) -> float:
 
 
 def _use_daat(enums: list[_ListEnum], theta: float, blocks: bool) -> bool:
-    """Estimate the fraction of postings θ_seed can skip; run the DAAT
-    kernel only when that dominates (else the vectorized merge wins).
+    """Cost-based path choice (see the constants above).
 
-    Skippable ≈ postings of terms whose bound never reaches θ (their
-    docs surface only through cheap next_geq probes, never as pivots)
-    plus, for block-max WAND, postings of blocks failing the block-max
-    test. θ grows during execution, so this UNDERestimates the final
-    skip rate — the choice is conservative toward the vectorized path.
+    visited ≈ postings of PIVOT-CAPABLE lists (bound ≥ θ_seed) — only
+    those can produce pivots; non-essential lists surface through cheap
+    probes. decode credit ≈ still-undecoded blocks of the non-essential
+    lists, which the vectorized merge must decode but DAAT mostly skips
+    (probes touch ≤ one block per pivot, already inside `visited`'s
+    pivot cost). θ grows during execution, so `visited` OVERestimates —
+    conservative toward the vectorized path.
     """
     if theta <= 0.0 or not enums:
         return False
-    total = sum(int(e.tb.ns.sum()) for e in enums)
+    visited = 0
+    saved_blocks = 0
+    total = 0
+    for e in enums:
+        total += e.tb.ns_total
+        if e.ub >= theta:
+            visited += e.tb.ns_total
+        else:
+            saved_blocks += len(e.tb.maxs) - len(e.tb.dcache)
     if total == 0:
         return False
-    sum_ub = sum(e.ub for e in enums)
-    skip = 0
-    for e in enums:
-        if e.ub < theta:
-            skip += int(e.tb.ns.sum())
-        elif blocks:
-            rest = sum_ub - e.ub
-            bmw = e.tb.bmw
-            m = ~np.isnan(bmw) & (e.qw * bmw + rest < theta)
-            skip += int(e.tb.ns[m].sum())
-    return skip >= DAAT_SKIP_FRACTION * total
+    return visited * C_PIVOT < total * C_VEC + saved_blocks * C_DECODE
 
 
 # ---------------------------------------------------------------------------
@@ -424,10 +442,10 @@ def _wand_core(
         if use_block_max:
             # shallow block-max refinement (BMW): align each prefix
             # enum's block metadata to pivot_doc, sum block maxima
-            bm_sum, boundary = 0.0, np.iinfo(np.int64).max
+            bm_sum, boundary = 0.0, INT64_MAX
             for e in enums[: p + 1]:
                 maxs, bmw = e.tb.maxs, e.tb.bmw
-                bi = int(np.searchsorted(maxs, pivot_doc))
+                bi = int(maxs.searchsorted(pivot_doc))
                 w = bmw[bi] if bi < len(bmw) else np.nan
                 bm_sum += e.qw * (w if w == w else 1.0)
                 if bi < len(maxs):
@@ -528,11 +546,14 @@ def _run_query(algo, qrows, cache, codec, norms, lo, hi, k, stats):
 
 def _static_shards(spark, universe: int) -> int:
     """Default shard count — a STATIC per-index layout, the way real
-    search deployments shard (shards are an index property fixed at
-    build time, queries fan out to all of them): enough shards to
-    occupy the cluster, floored so block doc-spans rarely straddle."""
-    par = max(1, spark.sparkContext.defaultParallelism)
-    return max(1, min(par, universe // MIN_SHARD_DOCS or 1))
+    search deployments shard: shards are an INDEX property (derived
+    from the docID universe alone), NOT a session property. The same
+    index presents the same shard layout at every executor count, so
+    kernel work tiles into task waves and scales with the cluster —
+    deriving shards from defaultParallelism (the first implementation)
+    made the layout shrink with the cluster and capped the kernel's
+    parallel speedup at 1× by construction."""
+    return max(1, min(MAX_STATIC_SHARDS, universe // MIN_SHARD_DOCS or 1))
 
 
 def _qt_meta(idx: FullTextIndex, queries: DataFrame, num_docs: int) -> DataFrame:
