@@ -15,19 +15,19 @@ from __future__ import annotations
 
 import numpy as np
 
-_THRESH = np.array([1 << 7, 1 << 14, 1 << 21, 1 << 28], dtype=np.uint64)
+# 7-bit group thresholds up to the full u64 range (10 bytes max): the
+# wire format has no 32-bit limit — n/universe headers at 10^12-doc
+# scale encode as ordinary 5-6 byte values (vroom_env/codecs.hpp:110).
+_THRESH = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
 
 
 def nbytes(values: np.ndarray) -> np.ndarray:
-    """Encoded byte count per value (1..5)."""
+    """Encoded byte count per value (1..10)."""
     v = values.astype(np.uint64, copy=False)
-    return (
-        1
-        + (v >= _THRESH[0]).astype(np.int64)
-        + (v >= _THRESH[1]).astype(np.int64)
-        + (v >= _THRESH[2]).astype(np.int64)
-        + (v >= _THRESH[3]).astype(np.int64)
-    )
+    out = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESH:
+        out += (v >= t).astype(np.int64)
+    return out
 
 
 def encode(values: np.ndarray) -> bytes:
@@ -50,10 +50,12 @@ def encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def decode(buf: bytes, n: int | None = None) -> np.ndarray:
+def decode(buf: bytes, n: int | None = None, wide: bool = False) -> np.ndarray:
     """Decode bytes → uint32 array (vectorized).
 
     n: expected count (validated if given).
+    wide: return uint64 (for header-class values ≥ 2^32); the default
+    uint32 path RAISES on overflow instead of truncating silently.
     """
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
@@ -69,4 +71,8 @@ def decode(buf: bytes, n: int | None = None) -> np.ndarray:
     shifts = (np.arange(b.size) - group_start).astype(np.uint64) * np.uint64(7)
     weighted = payload << shifts
     sums = np.add.reduceat(weighted, starts)
+    if wide:
+        return sums
+    if sums.size and int(sums.max()) > 0xFFFFFFFF:
+        raise ValueError("vbyte: value exceeds u32 — decode with wide=True")
     return sums.astype(np.uint32)

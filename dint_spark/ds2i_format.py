@@ -250,12 +250,22 @@ def read_blocks_collection(spark: SparkSession, path: str) -> DataFrame:
 
 def write_blocks_collection(blocks: DataFrame, path: str) -> None:
     """(block_ord, freq, vals) → binary_blocks_collection file. Serial
-    by format design; bounded driver memory (toLocalIterator)."""
+    by format design; bounded driver memory (toLocalIterator).
+
+    Empty-vals rows are written as a SINGLE zero length word (no freq)
+    and excluded from the num_blocks header — mirroring the reader's
+    skip loop (binary_blocks_collection.hpp:125-127 consumes exactly one
+    zero word per empty sequence and does not count it). Writing
+    [0][freq] would desynchronize the parse: the reader would take the
+    freq word as the next block's n."""
     rows = blocks.select("block_ord", "freq", "vals").orderBy("block_ord")
-    n_blocks = blocks.count()
+    n_blocks = blocks.filter(F.size("vals") > 0).count()
     with open(path, "wb") as f:
         f.write(np.array([n_blocks], dtype="<u4").tobytes())
         for r in rows.toLocalIterator():
             vals = np.array(r["vals"], dtype="<u4")
+            if vals.size == 0:
+                f.write(np.array([0], dtype="<u4").tobytes())
+                continue
             f.write(np.array([vals.size, r["freq"]], dtype="<u4").tobytes())
             f.write(vals.tobytes())

@@ -74,14 +74,16 @@ def get_norms(spark: SparkSession, sf_dir: str):
     bc = _NORMS_CACHE.get(key)
     if bc is None:
         idx = get_index(spark, sf_dir)
-        rows = idx.docs.select("doc_id", "norm_len").collect()
-        # sized by the docID UNIVERSE (max id + 1), not num_docs: ids
-        # need not be dense, and the sharded kernels clip shards to
-        # len(norms) — a short array would drop trailing docs
-        arr = np.zeros((max(r["doc_id"] for r in rows) + 1) if rows else 0,
-                       dtype=np.float64)
-        for r in rows:
-            arr[r["doc_id"]] = r["norm_len"]
+        # Arrow transfer + vectorized scatter — no per-row driver Row
+        # objects (the old collect loop cost far above the 8 B/doc the
+        # array itself needs). Sized by the docID UNIVERSE (max id + 1),
+        # not num_docs: ids need not be dense, and the sharded kernels
+        # clip shards to len(norms) — a short array would drop trailing
+        # docs.
+        pdf = idx.docs.select("doc_id", "norm_len").toPandas()
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        arr = np.zeros(int(ids.max()) + 1 if ids.size else 0, dtype=np.float64)
+        arr[ids] = pdf["norm_len"].to_numpy(dtype=np.float64)
         bc = spark.sparkContext.broadcast(arr)
         _NORMS_CACHE[key] = bc
     return bc

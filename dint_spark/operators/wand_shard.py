@@ -64,7 +64,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from dint_spark.build.postings import FullTextIndex
+from dint_spark.build.postings import TOPK_BOUND_K, FullTextIndex
 from dint_spark.functions.bm25 import B, EPS, K1, query_term_weight
 from dint_spark.operators.boolean import query_terms
 from dint_spark.operators.ranked import topk
@@ -256,8 +256,16 @@ def _make_enums(
     return enums
 
 
-def _seed_from_rows(qrows: list[tuple]) -> float:
-    """max over terms of qw·w10 − margin (see operators/wand.py step 1)."""
+def _seed_from_rows(qrows: list[tuple], k: int) -> float:
+    """max over terms of qw·w10 − margin (see operators/wand.py step 1).
+
+    VALID ONLY for k ≤ TOPK_BOUND_K: w10 lower-bounds the 10th-best
+    partial score of the list, so qw·w10 lower-bounds the true kth TOTAL
+    score only when k ≤ 10. For larger k the seed must be 0 (θ then
+    grows from the heap's own kth) — pruning against the w10 seed with
+    k > 10 would silently drop docs ranked 11..k."""
+    if k > TOPK_BOUND_K:
+        return 0.0
     best = float("nan")
     for _t, qw, w10 in qrows:
         v = qw * w10
@@ -533,7 +541,7 @@ def _maxscore_core(
 
 def _run_query(algo, qrows, cache, codec, norms, lo, hi, k, stats):
     enums = _make_enums(qrows, cache, codec, lo, hi, stats)
-    seed = _seed_from_rows(qrows)
+    seed = _seed_from_rows(qrows, k)
     if algo == "maxscore":
         return _maxscore_core(enums, seed, norms, lo, hi, k)
     return _wand_core(enums, seed, norms, lo, hi, k, algo == "wand")

@@ -85,9 +85,11 @@ def encode_vroom_stream(
         docs = g["doc_id"].to_numpy(dtype=np.int64)
         tfs = g["tf"].to_numpy(dtype=np.int64)
         vals = _gap_transform(docs, tfs, stream)
-        universe = int(vals.sum())
+        universe = int(vals.astype(np.int64).sum())
         payload = getattr(codec_bc.value, enc_name)(vals)
-        header = vbyte.encode(np.array([len(vals), universe], dtype=np.uint32))
+        # header ints carry u64 (n/universe exceed u32 past ~4G postings
+        # per list or 2^32 docIDs — TightVByte has no 32-bit limit)
+        header = vbyte.encode(np.array([len(vals), universe], dtype=np.uint64))
         return pd.DataFrame(
             {
                 "term_id": [int(g["term_id"].iloc[0])],
@@ -208,7 +210,8 @@ def read_vroom_file(spark: SparkSession, path: str) -> DataFrame:
     pos = 0
     tid = 0
     while pos < len(buf):
-        n, universe, hlen = _read_header(buf[pos : pos + 10])
+        # 20 bytes covers two full-u64 TightVByte ints (10 bytes each)
+        n, universe, hlen = _read_header(buf[pos : pos + 20])
         body = arr[pos + hlen :]
         ends = np.flatnonzero(body & 0x80)
         if ends.size < n:

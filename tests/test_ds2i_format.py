@@ -87,3 +87,34 @@ def test_blocks_collection_roundtrip(spark, tmp_path):
         (r["block_ord"], r["freq"], list(r["vals"])) for r in back.collect()
     )
     assert got == rows
+
+
+def test_blocks_collection_empty_vals_row(spark, tmp_path):
+    """An empty-vals row becomes a single zero word: the reader's skip
+    loop consumes exactly one word per empty sequence and does not count
+    it (binary_blocks_collection.hpp:125-127) — writing [0][freq] would
+    desynchronize the parse."""
+    import os
+
+    from dint_spark.ds2i_format import (
+        read_blocks_collection,
+        write_blocks_collection,
+    )
+
+    rows = [
+        (0, 7, [1, 2, 3]),
+        (1, 5, []),           # empty sequence — skipped, not counted
+        (2, 99, [42, 43]),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="block_ord long, freq long, vals array<long>"
+    )
+    path = os.path.join(tmp_path, "blocks_empty.bin")
+    write_blocks_collection(df, path)
+    # header counts only the 2 non-empty blocks
+    assert int(np.fromfile(path, dtype="<u4", count=1)[0]) == 2
+    got = sorted(
+        (r["freq"], list(r["vals"]))
+        for r in read_blocks_collection(spark, path).collect()
+    )
+    assert got == [(7, [1, 2, 3]), (99, [42, 43])]

@@ -162,3 +162,24 @@ def test_wand_sharded_auto_mode_zipf(spark, zipf_setup):
         wand_topk_sharded(idx, bidx, codec, q, idx.num_docs, norms, num_shards="auto")
     )
     assert got == ref
+
+
+@pytest.mark.parametrize("algo", ["wand", "maxscore"])
+def test_sharded_rank_identity_k_gt_10(spark, zipf_setup, algo):
+    """k > TOPK_BOUND_K: the qw·w10 seed only lower-bounds the 10th-best
+    score, so the kernels must seed θ = 0 for larger k — pruning against
+    the w10 seed at k=25 silently drops docs ranked 11..k."""
+    from dint_spark.operators.ranked import ranked_or
+    from dint_spark.operators.wand_shard import (
+        maxscore_topk_sharded,
+        wand_topk_sharded,
+    )
+
+    idx, bidx, codec, norms = zipf_setup
+    q = _zipf_queries(spark)
+    ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs, k=25))
+    fn = wand_topk_sharded if algo == "wand" else maxscore_topk_sharded
+    got = _ranks(
+        fn(idx, bidx, codec, q, idx.num_docs, norms, k=25, num_shards=2)
+    )
+    assert got == ref
