@@ -98,27 +98,31 @@ def q_ft_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Doc-sharded DAAT (operators/wand_shard.py): the reference's actual
     pivot/next_geq algorithm runs per (query, doc-shard) group in one
-    applyInPandas kernel — two shuffles total, lazy per-block decode."""
-    from dint_spark.engine import get_block_index, get_norms
+    applyInPandas kernel — two shuffles total, lazy per-block decode.
+    norm_lens ride the cogroup as per-shard packed slices (no
+    driver-side collect or data-sized broadcast anywhere in the path)."""
+    from dint_spark.engine import get_block_index, get_norm_slices, get_universe
     from dint_spark.operators.wand_shard import wand_topk_sharded
 
     idx = _idx(spark, sf_dir)
     bidx, codec = get_block_index(spark, sf_dir, "single_packed_dint")
-    norms = get_norms(spark, sf_dir)
     return wand_topk_sharded(
-        idx, bidx, codec, _queries(spark), idx.num_docs, norms, k=10
+        idx, bidx, codec, _queries(spark), idx.num_docs,
+        get_norm_slices(spark, sf_dir), k=10,
+        universe=get_universe(spark, sf_dir),
     )
 
 
 def q_ft_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dint_spark.engine import get_block_index, get_norms
+    from dint_spark.engine import get_block_index, get_norm_slices, get_universe
     from dint_spark.operators.wand_shard import maxscore_topk_sharded
 
     idx = _idx(spark, sf_dir)
     bidx, codec = get_block_index(spark, sf_dir, "single_packed_dint")
-    norms = get_norms(spark, sf_dir)
     return maxscore_topk_sharded(
-        idx, bidx, codec, _queries(spark), idx.num_docs, norms, k=10
+        idx, bidx, codec, _queries(spark), idx.num_docs,
+        get_norm_slices(spark, sf_dir), k=10,
+        universe=get_universe(spark, sf_dir),
     )
 
 

@@ -41,11 +41,14 @@ survives, so surviving scores are complete and the merge is
 rank-identical to ranked_or (the reference's own oracle,
 test_ranked_queries.cpp:42-74).
 
-norm_lens: the per-doc BM25 normalization array is broadcast to
-executors — the reference's own deployment model (wand_data.hpp:55-58
-keeps norm_lens[] resident per node). 8 bytes/doc ⇒ 8 GB per 10^9
-docs per executor; beyond that, shard the norms table on the same doc
-ranges and cogroup it alongside (the kernel only reads norms[lo:hi]).
+norm_lens: the per-doc BM25 normalization values ride the SAME cogroup
+as the posting blocks, packed into per-shard slice rows (norm_slices) —
+the node-sharded form of the reference's resident norm_lens[]
+(wand_data.hpp:55-58). Each kernel reconstructs only its shard's
+contiguous slice (memory ∝ shard span, hi−lo), so the path has NO
+driver-side per-doc collect and NO universe-sized broadcast at any
+scale. A legacy Broadcast[np.ndarray] is still accepted for
+single-node-parity callers (resident-array mode).
 
 Adaptive kernel: a COST MODEL (C_PIVOT / C_VEC / C_DECODE below)
 chooses per query, per shard between the DAAT path and a batched-decode
@@ -323,7 +326,8 @@ def _use_daat(enums: list[_ListEnum], theta: float, blocks: bool) -> bool:
 
 
 def _exhaustive_merge(
-    enums: list[_ListEnum], norms: np.ndarray, lo: int, hi: int, k: int
+    enums: list[_ListEnum], norms: np.ndarray, nbase: int, lo: int,
+    hi: int, k: int,
 ) -> list[tuple]:
     """Vectorized exhaustive scoring for groups where pruning cannot
     skip enough to pay for the per-doc DAAT loop. Uncached blocks decode
@@ -399,7 +403,7 @@ def _exhaustive_merge(
     alld, tf, qws = alld[m], tf[m], qws[m]
     if not alld.size:
         return []
-    alls = qws * (tf / (tf + K1 * (1.0 - B + B * norms[alld])))
+    alls = qws * (tf / (tf + K1 * (1.0 - B + B * norms[alld - nbase])))
     span = hi - lo
     if span <= 1 << 24:
         # dense-array aggregation (bincount is C-speed, no sort): doc
@@ -419,11 +423,11 @@ def _exhaustive_merge(
 
 
 def _wand_core(
-    enums: list[_ListEnum], seed: float, norms, lo: int, hi: int, k: int,
-    use_block_max: bool,
+    enums: list[_ListEnum], seed: float, norms, nbase: int, lo: int,
+    hi: int, k: int, use_block_max: bool,
 ) -> list[tuple]:
     if not _use_daat(enums, seed, blocks=use_block_max):
-        return _exhaustive_merge(enums, norms, lo, hi, k)
+        return _exhaustive_merge(enums, norms, nbase, lo, hi, k)
 
     heap: list[tuple] = []
     while True:
@@ -470,7 +474,7 @@ def _wand_core(
                 continue
         if enums[0].cur == pivot_doc:
             # full evaluation: every enum sitting on pivot contributes
-            nl = float(norms[pivot_doc])
+            nl = float(norms[pivot_doc - nbase])
             score = 0.0
             for e in enums:
                 if e.cur != pivot_doc:
@@ -495,13 +499,14 @@ def _wand_core(
 
 
 def _maxscore_core(
-    enums: list[_ListEnum], seed: float, norms, lo: int, hi: int, k: int
+    enums: list[_ListEnum], seed: float, norms, nbase: int, lo: int,
+    hi: int, k: int,
 ) -> list[tuple]:
     """Term-level MaxScore (queries.hpp:459-573): ascending-bound prefix
     is non-essential; DAAT over essential lists only; non-essential
     contributions added by next_geq probes with early termination."""
     if not _use_daat(enums, seed, blocks=False):
-        return _exhaustive_merge(enums, norms, lo, hi, k)
+        return _exhaustive_merge(enums, norms, nbase, lo, hi, k)
 
     enums.sort(key=lambda e: e.ub)  # ascending bound
     prefix = np.cumsum([0.0] + [e.ub for e in enums])  # prefix[i] = Σ ub[<i]
@@ -517,7 +522,7 @@ def _maxscore_core(
         if not live:
             break
         d = min(e.cur for e in live)
-        nl = float(norms[d])
+        nl = float(norms[d - nbase])
         score = 0.0
         for e in live:
             if e.cur == d:
@@ -539,12 +544,12 @@ def _maxscore_core(
     return [(-nd, raw) for _r, nd, raw in heap]
 
 
-def _run_query(algo, qrows, cache, codec, norms, lo, hi, k, stats):
+def _run_query(algo, qrows, cache, codec, norms, nbase, lo, hi, k, stats):
     enums = _make_enums(qrows, cache, codec, lo, hi, stats)
     seed = _seed_from_rows(qrows, k)
     if algo == "maxscore":
-        return _maxscore_core(enums, seed, norms, lo, hi, k)
-    return _wand_core(enums, seed, norms, lo, hi, k, algo == "wand")
+        return _maxscore_core(enums, seed, norms, nbase, lo, hi, k)
+    return _wand_core(enums, seed, norms, nbase, lo, hi, k, algo == "wand")
 
 
 # ---------------------------------------------------------------------------
@@ -552,16 +557,73 @@ def _run_query(algo, qrows, cache, codec, norms, lo, hi, k, stats):
 # ---------------------------------------------------------------------------
 
 
-def _static_shards(spark, universe: int) -> int:
-    """Default shard count — a STATIC per-index layout, the way real
-    search deployments shard: shards are an INDEX property (derived
-    from the docID universe alone), NOT a session property. The same
-    index presents the same shard layout at every executor count, so
-    kernel work tiles into task waves and scales with the cluster —
-    deriving shards from defaultParallelism (the first implementation)
-    made the layout shrink with the cluster and capped the kernel's
-    parallel speedup at 1× by construction."""
-    return max(1, min(MAX_STATIC_SHARDS, universe // MIN_SHARD_DOCS or 1))
+NORM_SENTINEL = -1  # term_id of packed norm-slice rows in the cogroup left side
+NORM_CHUNK = 1 << 18  # docs per packed slice row (4 MB of ids+vals per row)
+
+
+def static_layout(universe: int) -> tuple[int, int]:
+    """(num_shards, shard_size) — a STATIC per-index layout, the way real
+    search deployments shard: shards are an INDEX property (derived from
+    the docID universe alone), NOT a session property. The same index
+    presents the same shard layout at every executor count, so kernel
+    work tiles into task waves and scales with the cluster — deriving
+    shards from defaultParallelism (the first implementation) made the
+    layout shrink with the cluster and capped the kernel's parallel
+    speedup at 1× by construction."""
+    nsh = max(1, min(MAX_STATIC_SHARDS, universe // MIN_SHARD_DOCS or 1))
+    return nsh, -(-universe // nsh)
+
+
+def norm_slices(norms_df: DataFrame, shard_size: int) -> DataFrame:
+    """Pack (doc_id, norm_len) into per-shard slice rows that union into
+    the cogroup's block side — the distributed replacement for the
+    reference's node-resident norm_lens[] (wand_data.hpp:55-58).
+
+    Each shard's slice is CONTIGUOUS by construction (shards tile the
+    docID space), so the kernel reconstructs a dense array of span
+    `hi−lo` — memory proportional to the shard span, never the universe,
+    and no driver-side collect anywhere. Rows reuse the block-index
+    schema: term_id = NORM_SENTINEL marks them; block_id carries the
+    shard_size the layout was packed for (validated in the kernel so a
+    precomputed slices frame cannot silently pair with a different
+    layout); docs_bytes/freqs_bytes carry raw little-endian int64 ids /
+    float64 norms, chunked at NORM_CHUNK docs per row."""
+    ssz = int(shard_size)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        vals = pdf["norm_len"].to_numpy(dtype=np.float64)
+        o = np.argsort(ids)
+        ids, vals = ids[o], vals[o]
+        shard = int(ids[0] // ssz)
+        rows = []
+        for s in range(0, len(ids), NORM_CHUNK):
+            i, v = ids[s : s + NORM_CHUNK], vals[s : s + NORM_CHUNK]
+            rows.append(
+                (NORM_SENTINEL, ssz, len(i), int(i[0]), int(i[-1]), None,
+                 i.tobytes(), v.tobytes(), shard)
+            )
+        return pd.DataFrame(rows, columns=_LEFT_COLS)
+
+    return (
+        norms_df.select(
+            "doc_id", "norm_len",
+            F.floor(F.col("doc_id") / F.lit(ssz)).alias("_shard"),
+        )
+        .groupBy("_shard")
+        .applyInPandas(pack, _LEFT_SCHEMA)
+    )
+
+
+_LEFT_COLS = [
+    "term_id", "block_id", "n", "block_base", "block_max",
+    "block_max_weight", "docs_bytes", "freqs_bytes", "_shard",
+]
+_LEFT_SCHEMA = (
+    "term_id long, block_id long, n int, block_base long, block_max long, "
+    "block_max_weight double, docs_bytes binary, freqs_bytes binary, "
+    "_shard long"
+)
 
 
 def _qt_meta(idx: FullTextIndex, queries: DataFrame, num_docs: int) -> DataFrame:
@@ -589,14 +651,21 @@ def wand_topk_sharded(
     codec,
     queries: DataFrame,
     num_docs: int,
-    norms,
+    norms=None,
     k: int = 10,
     use_block_max: bool = True,
-    num_shards: "int | str | None" = None,
+    num_shards: "int | None" = None,
+    universe: "int | None" = None,
 ) -> DataFrame:
-    """Block-max WAND over the compressed index, doc-sharded DAAT."""
+    """Block-max WAND over the compressed index, doc-sharded DAAT.
+
+    norms: None → norm slices derive from idx.docs inside the plan
+    (fully distributed); a (doc_id, norm_len) DataFrame; a precomputed
+    norm_slices() frame (engine.get_norm_slices — the serving path); or
+    a legacy Broadcast[np.ndarray] (resident-array mode, single-node
+    parity with wand_data.hpp:55-58)."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
-                "wand" if use_block_max else "maxscore_bm_off")
+                "wand" if use_block_max else "maxscore_bm_off", universe)
 
 
 def maxscore_topk_sharded(
@@ -605,53 +674,124 @@ def maxscore_topk_sharded(
     codec,
     queries: DataFrame,
     num_docs: int,
-    norms,
+    norms=None,
     k: int = 10,
-    num_shards: "int | str | None" = None,
+    num_shards: "int | None" = None,
+    universe: "int | None" = None,
 ) -> DataFrame:
-    """Term-level MaxScore over the compressed index, doc-sharded DAAT."""
+    """Term-level MaxScore over the compressed index, doc-sharded DAAT.
+    See wand_topk_sharded for the norms contract."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
-                "maxscore")
+                "maxscore", universe)
 
 
-def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo):
-    if num_shards == "auto":
-        return _run_fanout(
-            idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo
-        )
+def wand_sharded_decode_stats(
+    idx, bidx, codec, queries, num_docs, norms=None, k=10, num_shards=None,
+    algo="wand", universe=None,
+) -> DataFrame:
+    """(query_id, shard, blocks_total, blocks_docs_decoded,
+    blocks_freqs_decoded) — the pruning evidence surface (reference
+    analog: the profiled decode counts, block_profiler.hpp:9-64). Runs
+    on the SAME cogroup spine as the top-k surfaces; per-query
+    attribution is restored by clearing the shard's decoded-block memo
+    between queries (each query pays its own decodes, as the reference's
+    per-query profiler does)."""
+    return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
+                algo, universe, emit="stats")
+
+
+def _resolve_norms(idx, norms, universe):
+    """→ (norms_bc | None, slices_df | None, ndf | None, universe)."""
+    if hasattr(norms, "value"):  # legacy Broadcast resident-array mode
+        return norms, None, None, len(norms.value)
+    slices_pre, ndf = None, None
+    if norms is None:
+        ndf = idx.docs.select("doc_id", "norm_len")
+    elif "docs_bytes" in norms.columns:
+        slices_pre = norms
+    else:
+        ndf = norms.select("doc_id", "norm_len")
+    if universe is None:
+        # bounded metadata action: ONE max aggregate (scalar), not a
+        # per-row collect — the docID universe is an index property;
+        # serving paths pass it precomputed (engine.get_universe)
+        if ndf is not None:
+            universe = int(ndf.agg(F.max("doc_id")).first()[0]) + 1
+        else:
+            universe = int(slices_pre.agg(F.max("block_max")).first()[0]) + 1
+    return None, slices_pre, ndf, int(universe)
+
+
+def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
+         universe=None, emit="topk"):
     spark = queries.sparkSession
+    norms_bc, slices_pre, ndf, universe = _resolve_norms(idx, norms, universe)
     # the docID universe (max assigned id + 1) can exceed num_docs when
     # ids are not dense (docs with no tokens leave holes); sharding and
     # clipping must cover the universe or trailing docs vanish
-    universe = len(norms.value)
-    nsh = int(num_shards) if num_shards is not None else _static_shards(
-        spark, universe
-    )
-    ss = -(-universe // max(1, nsh))  # ceil
+    if num_shards is not None:
+        nsh = int(num_shards)
+        ss = -(-universe // max(1, nsh))
+    else:
+        nsh, ss = static_layout(universe)
     qt = _qt_meta(idx, queries, num_docs).select("query_id", "term_id", "qw", "w10")
     # index slice ships ONCE: blocks of the batch's terms, deduped
-    blocks_sh = bidx.join(
-        F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
-    ).withColumn("_shard", _shard_col(ss))
+    blocks_sh = (
+        bidx.join(
+            F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
+        )
+        .withColumn("_shard", _shard_col(ss))
+        .select(*_LEFT_COLS)
+    )
+    if norms_bc is None:
+        slices = slices_pre if slices_pre is not None else norm_slices(ndf, ss)
+        left = blocks_sh.unionByName(slices)
+    else:
+        left = blocks_sh
     qx = qt.crossJoin(
         F.broadcast(spark.range(nsh).select(F.col("id").alias("_shard")))
     )
     codec_bc = spark.sparkContext.broadcast(codec)
-    norms_bc = norms  # already a Broadcast[np.ndarray]
+
+    stats_mode = emit == "stats"
+    out_schema = (
+        "query_id long, shard long, blocks_total long, "
+        "blocks_docs_decoded long, blocks_freqs_decoded long"
+        if stats_mode
+        else "query_id long, doc_id long, score double"
+    )
 
     def kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"query_id": pd.Series(dtype="int64"),
-             "doc_id": pd.Series(dtype="int64"),
-             "score": pd.Series(dtype="float64")}
+            {c.split()[0]: pd.Series(dtype="int64" if "long" in c else "float64")
+             for c in out_schema.split(", ")}
         )
         if not len(right):
             return empty
         shard = int(key[0])
         lo, hi = shard * ss, min((shard + 1) * ss, universe)
-        c, nv = codec_bc.value, norms_bc.value
-        cache = _term_cache(left) if len(left) else {}
-        qids, docs_out, scores_out = [], [], []
+        c = codec_bc.value
+        if norms_bc is not None:
+            nv, nbase = norms_bc.value, 0
+            blocks_pdf = left
+        else:
+            nv = np.zeros(max(0, hi - lo), dtype=np.float64)
+            nbase = lo
+            if len(left):
+                tcol = left["term_id"].to_numpy(dtype=np.int64)
+                sent = left[tcol == NORM_SENTINEL]
+                for r in sent.itertuples(index=False):
+                    if int(r.block_id) != ss:
+                        raise ValueError(
+                            f"norm slices packed for shard_size {r.block_id}, "
+                            f"query plan uses {ss} — rebuild norm_slices"
+                        )
+                    ids = np.frombuffer(r.docs_bytes, dtype=np.int64)
+                    nv[ids - lo] = np.frombuffer(r.freqs_bytes, dtype=np.float64)
+                blocks_pdf = left[tcol >= 0]
+            else:
+                blocks_pdf = left
+        cache = _term_cache(blocks_pdf) if len(blocks_pdf) else {}
         tids = right["term_id"].to_numpy(dtype=np.int64)
         qws = right["qw"].to_numpy(dtype=np.float64)
         w10s = right["w10"].to_numpy(dtype=np.float64)
@@ -661,163 +801,32 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo):
             np.diff(q_arr[order], prepend=q_arr[order[0]] - 1)
         )
         bounds = np.append(bounds, len(order))
+        out_rows: list[tuple] = []
         for s_i, e_i in zip(bounds[:-1], bounds[1:]):
             sel = order[s_i:e_i]
             qid = int(q_arr[sel[0]])
             qrows = [
                 (int(tids[i]), float(qws[i]), float(w10s[i])) for i in sel
             ]
+            if stats_mode:
+                for tb in cache.values():
+                    tb.dcache.clear()
+                    tb.fcache.clear()
             stats = [0, 0, 0]
-            rows = _run_query(algo, qrows, cache, c, nv, lo, hi, k, stats)
-            for d, sc in rows:
-                qids.append(qid)
-                docs_out.append(d)
-                scores_out.append(sc)
-        if not qids:
+            rows = _run_query(algo, qrows, cache, c, nv, nbase, lo, hi, k, stats)
+            if stats_mode:
+                out_rows.append((qid, shard, stats[0], stats[1], stats[2]))
+            else:
+                out_rows.extend((qid, d, sc) for d, sc in rows)
+        if not out_rows:
             return empty
-        return pd.DataFrame(
-            {"query_id": qids, "doc_id": docs_out, "score": scores_out}
-        )
+        return pd.DataFrame(out_rows, columns=list(empty.columns))
 
     local = (
-        blocks_sh.groupBy("_shard")
+        left.groupBy("_shard")
         .cogroup(qx.groupBy("_shard"))
-        .applyInPandas(kernel, "query_id long, doc_id long, score double")
+        .applyInPandas(kernel, out_schema)
     )
+    if stats_mode:
+        return local
     return topk(local, k)
-
-
-# ---------------------------------------------------------------------------
-# per-query fan-out path: "auto" shard sizing + the decode-stats surface
-# ---------------------------------------------------------------------------
-
-
-def _query_block_groups(
-    idx: FullTextIndex,
-    bidx: DataFrame,
-    queries: DataFrame,
-    num_docs: int,
-    universe: int,
-    num_shards,
-) -> DataFrame:
-    """blocks ⋈ broadcast(query-term metadata), exploded to doc shards —
-    block payloads fan out PER QUERY (the cogroup path above avoids
-    that; this path exists for per-query shard sizing and for per-query
-    decode statistics).
-
-    num_shards: "auto" → PER-QUERY sizing, nsh =
-    clamp(ceil(Σdf / MIN_GROUP_POSTINGS), 1, parallelism) from one
-    window over the ≤|q|·16-row metadata frame — avoids decoding a rare
-    query's straddling blocks once per shard on heterogeneous batches,
-    at ~0.3-0.5s of extra plan stages. int → fixed count. None → static
-    layout."""
-    from pyspark.sql import Window as W
-
-    spark = queries.sparkSession
-    qt = _qt_meta(idx, queries, num_docs)
-    if num_shards == "auto":
-        par = max(1, spark.sparkContext.defaultParallelism)
-        w_q = W.partitionBy("query_id").rowsBetween(
-            W.unboundedPreceding, W.unboundedFollowing
-        )
-        tot = F.sum("df").over(w_q)
-        nsh = F.least(
-            F.lit(par),
-            F.greatest(F.lit(1), F.ceil(tot / F.lit(float(MIN_GROUP_POSTINGS)))),
-        ).cast("long")
-        qt_meta = qt.select(
-            "query_id",
-            "term_id",
-            "qw",
-            "w10",
-            F.ceil(F.lit(float(universe)) / nsh).cast("long").alias("_shard_size"),
-        )
-    else:
-        nsh = num_shards if num_shards is not None else _static_shards(spark, universe)
-        ss = -(-universe // max(1, int(nsh)))
-        qt_meta = qt.select(
-            "query_id", "term_id", "qw", "w10", F.lit(ss).alias("_shard_size")
-        )
-    return bidx.join(F.broadcast(qt_meta), "term_id").withColumn(
-        "_shard", _shard_col(F.col("_shard_size"))
-    )
-
-
-def _fanout_group_inputs(gdf: pd.DataFrame):
-    """One per-(query, shard) pandas group → (qrows, cache, lo, hi)."""
-    shard = int(gdf["_shard"].iloc[0])
-    shard_size = int(gdf["_shard_size"].iloc[0])
-    per_term = gdf.drop_duplicates("term_id")
-    qrows = [
-        (int(r.term_id), float(r.qw), float(r.w10))
-        for r in per_term.itertuples(index=False)
-    ]
-    cache = _term_cache(gdf)
-    return qrows, cache, shard, shard_size
-
-
-def _run_fanout(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo):
-    spark = queries.sparkSession
-    universe = len(norms.value)
-    groups = _query_block_groups(idx, bidx, queries, num_docs, universe, num_shards)
-    codec_bc = spark.sparkContext.broadcast(codec)
-    norms_bc = norms
-
-    def kernel(gdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(gdf):
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
-        c, nv = codec_bc.value, norms_bc.value
-        qid = int(gdf["query_id"].iloc[0])
-        qrows, cache, shard, ss = _fanout_group_inputs(gdf)
-        lo, hi = shard * ss, min((shard + 1) * ss, universe)
-        rows = _run_query(algo, qrows, cache, c, nv, lo, hi, k, [0, 0, 0])
-        return pd.DataFrame(
-            {
-                "query_id": qid,
-                "doc_id": [d for d, _ in rows],
-                "score": [s for _, s in rows],
-            }
-        )
-
-    local = groups.groupBy("query_id", "_shard").applyInPandas(
-        kernel, "query_id long, doc_id long, score double"
-    )
-    return topk(local, k)
-
-
-def wand_sharded_decode_stats(
-    idx, bidx, codec, queries, num_docs, norms, k=10, num_shards=None,
-    algo="wand",
-) -> DataFrame:
-    """(query_id, shard, blocks_total, blocks_docs_decoded,
-    blocks_freqs_decoded) — the pruning evidence surface (reference
-    analog: the profiled decode counts, block_profiler). Uses the
-    per-query fan-out path so counts are attributable per query."""
-    spark = queries.sparkSession
-    universe = len(norms.value)
-    groups = _query_block_groups(idx, bidx, queries, num_docs, universe, num_shards)
-    codec_bc = spark.sparkContext.broadcast(codec)
-    norms_bc = norms
-
-    def kernel(gdf: pd.DataFrame) -> pd.DataFrame:
-        c, nv = codec_bc.value, norms_bc.value
-        qid = int(gdf["query_id"].iloc[0])
-        qrows, cache, shard, ss = _fanout_group_inputs(gdf)
-        lo, hi = shard * ss, min((shard + 1) * ss, universe)
-        stats = [0, 0, 0]
-        _run_query(algo, qrows, cache, c, nv, lo, hi, k, stats)
-        return pd.DataFrame(
-            {
-                "query_id": [qid],
-                "shard": [shard],
-                "blocks_total": [stats[0]],
-                "blocks_docs_decoded": [stats[1]],
-                "blocks_freqs_decoded": [stats[2]],
-            }
-        )
-
-    return groups.groupBy("query_id", "_shard").applyInPandas(
-        kernel,
-        "query_id long, shard long, blocks_total long, "
-        "blocks_docs_decoded long, blocks_freqs_decoded long",
-    )

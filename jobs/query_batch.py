@@ -73,20 +73,15 @@ def main() -> None:
                 from dint_spark.operators.wand import wand_topk
 
                 return wand_topk(idx, bidx, codec, qdf, num_docs, k=args.k).count()
-            import numpy as np
-
             from dint_spark.operators.wand_shard import (
                 maxscore_topk_sharded,
                 wand_topk_sharded,
             )
 
-            rows = docs.select("doc_id", "norm_len").collect()
-            arr = np.zeros(max(r["doc_id"] for r in rows) + 1, dtype=np.float64)
-            for r in rows:
-                arr[r["doc_id"]] = r["norm_len"]
-            norms = spark.sparkContext.broadcast(arr)
+            # norms=None: norm slices derive from idx.docs inside the
+            # plan (cogrouped per shard) — no driver-side norms collect
             fn = wand_topk_sharded if args.op == "wand" else maxscore_topk_sharded
-            return fn(idx, bidx, codec, qdf, num_docs, norms, k=args.k).count()
+            return fn(idx, bidx, codec, qdf, num_docs, k=args.k).count()
         if args.op == "and":
             return and_query(postings, qdf).count()
         if args.op == "or":

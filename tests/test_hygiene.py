@@ -50,3 +50,35 @@ def test_no_broadcast_of_index_derived_frames():
             if any(root in name for root in forbidden_roots):
                 offenders.append(f"{f.name}:{name}")
     assert offenders == [], f"data-sized broadcast hints: {offenders}"
+
+
+def test_no_driver_side_data_collect_in_query_path():
+    """The round-3 verdict's last scale boundary: the default
+    WAND/MaxScore path must never collect a data-sized frame to the
+    driver (the old get_norms collected one row per document). Norms now
+    ride the cogroup as packed per-shard slices; the only driver actions
+    allowed in the query path are scalar aggregates (.first() on an agg).
+    Enforced statically: no .collect()/.toPandas() in the query-path
+    operator modules."""
+    offenders = []
+    for name in ("wand_shard.py", "wand.py", "ranked.py", "boolean.py"):
+        src = (PKG / "operators" / name).read_text()
+        for pat in (r"\.collect\(", r"\.toPandas\("):
+            if re.search(pat, src):
+                offenders.append(f"{name}:{pat}")
+    assert offenders == [], f"driver-side collection in query path: {offenders}"
+
+
+def test_entry_wand_path_uses_sharded_norms():
+    """__spark_entry__'s default ft_wand/ft_maxscore must use the
+    cogrouped norm slices (get_norm_slices), not the broadcast
+    resident-array get_norms."""
+    import pathlib
+
+    entry = pathlib.Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+    src = entry.read_text()
+    assert not re.search(r"get_norms\(", src), (
+        "__spark_entry__ still routes a query through the broadcast "
+        "norms array (get_norms) — default paths must use "
+        "get_norm_slices"
+    )

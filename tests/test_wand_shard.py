@@ -150,18 +150,58 @@ def test_wand_sharded_prunes_blocks_on_zipf(spark, zipf_setup):
     assert st["f"] <= st["d"]
 
 
-def test_wand_sharded_auto_mode_zipf(spark, zipf_setup):
-    """num_shards="auto" (per-query sizing) stays rank-identical."""
+@pytest.mark.parametrize("algo", ["wand", "maxscore"])
+def test_sharded_norms_cogrouped_zipf(spark, zipf_setup, algo):
+    """Default norms mode (norms=None): norm slices derive from
+    idx.docs INSIDE the plan and ride the cogroup — rank-identical to
+    the oracle with zero driver-side per-doc collection."""
     from dint_spark.operators.ranked import ranked_or
-    from dint_spark.operators.wand_shard import wand_topk_sharded
+    from dint_spark.operators.wand_shard import (
+        maxscore_topk_sharded,
+        wand_topk_sharded,
+    )
 
-    idx, bidx, codec, norms = zipf_setup
+    idx, bidx, codec, _norms = zipf_setup
     q = _zipf_queries(spark)
     ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs))
+    fn = wand_topk_sharded if algo == "wand" else maxscore_topk_sharded
+    got = _ranks(fn(idx, bidx, codec, q, idx.num_docs, None, num_shards=3))
+    assert got == ref
+
+
+def test_sharded_norms_precomputed_slices_zipf(spark, zipf_setup):
+    """Precomputed norm_slices() frame (the engine's serving path, static
+    layout) is rank-identical; a slices frame packed for a DIFFERENT
+    shard size is rejected instead of silently mis-scoring."""
+    from dint_spark.operators.ranked import ranked_or
+    from dint_spark.operators.wand_shard import (
+        norm_slices,
+        static_layout,
+        wand_topk_sharded,
+    )
+    from dint_spark.util import materialize
+
+    idx, bidx, codec, _norms = zipf_setup
+    q = _zipf_queries(spark)
+    universe = int(idx.docs.agg(F.max("doc_id")).first()[0]) + 1
+    _nsh, ss = static_layout(universe)
+    slices = materialize(
+        norm_slices(idx.docs.select("doc_id", "norm_len"), ss)
+    )
+    ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs))
     got = _ranks(
-        wand_topk_sharded(idx, bidx, codec, q, idx.num_docs, norms, num_shards="auto")
+        wand_topk_sharded(
+            idx, bidx, codec, q, idx.num_docs, slices, universe=universe
+        )
     )
     assert got == ref
+    # layout-mismatch guard: packed for ss but run with a different nsh
+    bad = wand_topk_sharded(
+        idx, bidx, codec, q, idx.num_docs, slices, num_shards=5,
+        universe=universe,
+    )
+    with pytest.raises(Exception, match="shard_size|rebuild"):
+        bad.collect()
 
 
 @pytest.mark.parametrize("algo", ["wand", "maxscore"])
