@@ -156,6 +156,29 @@ def main() -> None:
         idx.docs.select("doc_id", "norm_len"), "doc_id"
     ).join(idx.vocab.select("term", "term_id"), "term_id")
 
+    # --- pruning floor analysis -----------------------------------------
+    # q2 (dense0, dense1) is FLAT by construction: both terms ε-idf, all
+    # scores tie to 9 decimals, θ_eff keeps every doc — no score-based
+    # pruning algorithm (the reference's included) can skip a block.
+    # Its blocks are an inherent floor of the mixed-batch fraction, not
+    # a pruning deficiency; report the batch both ways.
+    FLAT = [2]
+    flat_t = sum(per_query[q]["blocks"] for q in FLAT)
+    flat_d = sum(
+        round(per_query[q]["docs_frac"] * per_query[q]["blocks"]) for q in FLAT
+    )
+    flat_f = sum(
+        round(per_query[q]["freqs_frac"] * per_query[q]["blocks"]) for q in FLAT
+    )
+    sel_t = sum(per_query[q]["blocks"] for q in SELECTIVE)
+    sel_d = sum(
+        round(per_query[q]["docs_frac"] * per_query[q]["blocks"])
+        for q in SELECTIVE
+    )
+    sel_f = sum(
+        round(per_query[q]["freqs_frac"] * per_query[q]["blocks"])
+        for q in SELECTIVE
+    )
     out = {
         "docs": args.docs,
         "n_postings": int(idx.postings.count()),
@@ -165,6 +188,18 @@ def main() -> None:
         "blocks_freqs_decoded": int(st["f"]),
         "decoded_docs_fraction": round(st["d"] / st["t"], 3),
         "decoded_freqs_fraction": round(st["f"] / st["t"], 3),
+        "floor_analysis": {
+            "flat_queries": FLAT,
+            "flat_blocks_fraction_of_handed": round(flat_t / st["t"], 3),
+            "docs_fraction_excl_flat": round(
+                (st["d"] - flat_d) / (st["t"] - flat_t), 3
+            ),
+            "freqs_fraction_excl_flat": round(
+                (st["f"] - flat_f) / (st["t"] - flat_t), 3
+            ),
+            "selective_docs_fraction": round(sel_d / sel_t, 3),
+            "selective_freqs_fraction": round(sel_f / sel_t, 3),
+        },
         "per_query": per_query,
         "selective_queries": SELECTIVE,
         "wall_sec_selective": timed_all(

@@ -95,6 +95,41 @@ def main() -> None:
     n_queries = len(QUERY_SET)
     ranked_qps = n_queries / timings["ft_ranked_or"] if timings["ft_ranked_or"] else 0.0
 
+    # decode-fraction evidence (block_profiler analog, ref
+    # block_profiler.hpp:9-64): fraction of handed blocks the WAND
+    # kernels actually decode on THIS corpus. The driver sf corpora are
+    # ε-flat (every term dense → idf clamped → scores tie), so ~1.0 here
+    # is the kernel CORRECTLY routing to the vectorized exhaustive path;
+    # the pruning numbers live in BENCH/wand_pruning.json (Zipf corpus).
+    from pyspark.sql import functions as F
+
+    from dint_spark.engine import get_block_index, get_norm_slices, get_universe
+    from dint_spark.operators.wand_shard import wand_sharded_decode_stats
+
+    from dint_spark.queryset import queries_df
+
+    bidx, codec = get_block_index(spark, sf_dir, "single_packed_dint")
+    st = (
+        wand_sharded_decode_stats(
+            idx, bidx, codec, queries_df(spark),
+            idx.num_docs, get_norm_slices(spark, sf_dir),
+            universe=get_universe(spark, sf_dir),
+        )
+        .agg(
+            F.sum("blocks_total").alias("t"),
+            F.sum("blocks_docs_decoded").alias("d"),
+            F.sum("blocks_freqs_decoded").alias("f"),
+        )
+        .first()
+    )
+    decode_stats = {
+        "blocks_handed": int(st["t"]),
+        "docs_decoded_fraction": round(st["d"] / st["t"], 3) if st["t"] else None,
+        "freqs_decoded_fraction": round(st["f"] / st["t"], 3) if st["t"] else None,
+        "note": "eps-flat driver corpus: exhaustive routing expected; "
+                "Zipf pruning evidence in BENCH/wand_pruning.json",
+    }
+
     out = {
         "metric": "headline_query_suite_seconds",
         "value": round(total, 4),
@@ -108,6 +143,7 @@ def main() -> None:
             "ranked_or_qps": round(ranked_qps, 2),
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             "quantiles": quantiles,
+            "decode_stats": decode_stats,
         },
     }
     print(json.dumps(out))

@@ -111,7 +111,26 @@ class _TermBlocks:
     set — decode each touched block at most once per shard per batch)."""
 
     __slots__ = ("bases", "maxs", "ns", "bmw", "dbytes", "fbytes",
-                 "dcache", "fcache", "max_bmw", "ns_total")
+                 "dcache", "fcache", "max_bmw", "ns_total", "_est")
+
+    def est_postings(self, lo: int, hi: int) -> float:
+        """Estimated postings of this list INSIDE [lo, hi) from block
+        metadata alone: each block contributes n·overlap/span. A block
+        that straddles many shards (rare list over a wide docID range)
+        contributes only its in-shard sliver — counting its full n (the
+        old estimate) inflated DAAT's pivot-cost estimate by up to
+        span/overlap and mis-routed exactly the rare-anchored queries
+        pruning exists for. Memoized per (shard, term): the kernel's
+        (lo, hi) is fixed."""
+        if self._est < 0.0:
+            b0 = self.bases + 1
+            span = np.maximum(self.maxs - b0 + 1, 1)
+            ov = np.clip(
+                np.minimum(self.maxs, hi - 1) - np.maximum(b0, lo) + 1,
+                0, None,
+            )
+            self._est = float((self.ns * (ov / span)).sum())
+        return self._est
 
     def __init__(self, bases, maxs, ns, bmw, dbytes, fbytes):
         self.bases = bases    # int64[nb] block gap-chain seeds
@@ -127,6 +146,7 @@ class _TermBlocks:
         m = np.nanmax(bmw) if bmw.size else float("nan")
         self.max_bmw = m if m == m else 1.0  # nan → weight ≤ 1 bound
         self.ns_total = int(ns.sum())
+        self._est = -1.0
 
 
 def _term_cache(left: pd.DataFrame) -> dict[int, _TermBlocks]:
@@ -155,17 +175,25 @@ def _term_cache(left: pd.DataFrame) -> dict[int, _TermBlocks]:
 class _ListEnum:
     """Posting-list enumerator over a _TermBlocks slice.
 
-    Blocks decode lazily: next_geq binary-searches block metadata
-    (block_max) first and decodes only the landing block — the
-    reference's dict_posting_list skip semantics
-    (dict_posting_list.hpp:120-169), including lazy freqs (freqs of a
-    block decode only when a candidate in it is actually scored).
-    Decoded arrays land in the shared _TermBlocks memo, so another
-    query in the same shard batch reuses them for free.
+    Blocks decode lazily AND late: next_geq binary-searches block
+    metadata (block_max) only, landing on a block WITHOUT decoding it —
+    `cur` then holds a docID LOWER BOUND (max(target, block_base+1),
+    every doc of block bi exceeds its gap-chain seed) and `approx` is
+    set. The block decodes only at materialize(), which the DAAT loops
+    call strictly when a pivot decision needs the true docID — so lists
+    that are skipped past (the Ding-Suel d'+1 jump) or never become
+    pivot-relevant ship only metadata and never decode. This goes one
+    step beyond the reference's dict_posting_list (hpp:120-169 decodes
+    the landing block inside next_geq): at ≥32 shards an eager landing
+    decode costs |terms|×shards block decodes per batch before any θ
+    check. Lazy freqs unchanged (decode on first freq()). Decoded
+    arrays land in the shared _TermBlocks memo, so another query in the
+    same shard batch reuses them for free — and a memo hit during
+    next_geq positions exactly at zero cost.
     """
 
     __slots__ = ("qw", "ub", "tb", "codec", "bi", "docs", "tfs", "pos",
-                 "cur", "exhausted", "stats")
+                 "cur", "exhausted", "stats", "approx")
 
     def __init__(self, qw, tb: _TermBlocks, codec, stats):
         self.qw = qw
@@ -177,6 +205,7 @@ class _ListEnum:
         self.pos = 0
         self.cur = -1
         self.exhausted = False
+        self.approx = False
         self.stats = stats  # [blocks_total, docs_decoded, freqs_decoded]
         # term upper bound within this shard: max block_max_weight when
         # present (tighter than the global max_weight), scaled by qw
@@ -193,6 +222,18 @@ class _ListEnum:
             self.stats[1] += 1
         self.docs = docs
         self.tfs = None
+
+    def materialize(self) -> None:
+        """Resolve a metadata-only position to the true docID (decodes
+        the landing block). cur is a lower bound ≤ block_max[bi], so the
+        in-block searchsorted always lands (pos < n)."""
+        if not self.approx:
+            return
+        target = self.cur
+        self._enter_block(self.bi)
+        self.pos = int(self.docs.searchsorted(target))
+        self.cur = int(self.docs[self.pos])
+        self.approx = False
 
     def freq(self) -> int:
         if self.tfs is None:
@@ -218,14 +259,30 @@ class _ListEnum:
         if bi >= len(maxs):
             self.exhausted = True
             self.cur = INT64_MAX
+            self.approx = False
             return
-        if bi != self.bi or self.docs is None:
-            self._enter_block(bi)
-        self.pos = int(self.docs.searchsorted(target))
-        # target ≤ block_max guarantees pos < n
-        self.cur = int(self.docs[self.pos])
+        docs = self.tb.dcache.get(bi)
+        if docs is not None:
+            # memo hit (this or another query already decoded it): exact
+            # positioning is free
+            self.bi = bi
+            self.docs = docs
+            self.tfs = None
+            self.pos = int(docs.searchsorted(target))
+            # target ≤ block_max guarantees pos < n
+            self.cur = int(docs[self.pos])
+            self.approx = False
+            return
+        # metadata-only landing: cur becomes a lower bound; the block
+        # decodes only if a pivot decision later needs the true docID
+        self.bi = bi
+        self.docs = None
+        self.tfs = None
+        self.cur = max(target, int(self.tb.bases[bi]) + 1)
+        self.approx = True
 
     def advance(self) -> None:
+        # only legal from an exact position (after scoring)
         self.pos += 1
         if self.docs is not None and self.pos < len(self.docs):
             self.cur = int(self.docs[self.pos])
@@ -293,29 +350,37 @@ def _kth_theta(heap: list, k: int, seed: float) -> float:
     return max(seed, heap[0][0] - THETA_MARGIN)
 
 
-def _use_daat(enums: list[_ListEnum], theta: float, blocks: bool) -> bool:
+def _use_daat(
+    enums: list[_ListEnum], theta: float, lo: int, hi: int, blocks: bool
+) -> bool:
     """Cost-based path choice (see the constants above).
 
-    visited ≈ postings of PIVOT-CAPABLE lists (bound ≥ θ_seed) — only
-    those can produce pivots; non-essential lists surface through cheap
-    probes. decode credit ≈ still-undecoded blocks of the non-essential
-    lists, which the vectorized merge must decode but DAAT mostly skips
-    (probes touch ≤ one block per pivot, already inside `visited`'s
-    pivot cost). θ grows during execution, so `visited` OVERestimates —
-    conservative toward the vectorized path.
+    visited ≈ IN-SHARD postings of PIVOT-CAPABLE lists (bound ≥ θ_seed)
+    — only those can produce pivots; non-essential lists surface through
+    cheap probes. The in-shard estimate comes from block-metadata
+    overlap (est_postings): a rare list whose single block straddles
+    every shard pivots only over its few in-range docs, not the block's
+    full n — the old full-n estimate inflated DAAT's cost by up to
+    span/overlap and routed rare-anchored queries (the pruning
+    showcase) to the exhaustive path. decode credit ≈ still-undecoded
+    blocks of the non-essential lists, which the vectorized merge must
+    decode but DAAT mostly skips (probes touch ≤ one block per pivot,
+    already inside `visited`'s pivot cost). θ grows during execution, so
+    `visited` OVERestimates — conservative toward the vectorized path.
     """
     if theta <= 0.0 or not enums:
         return False
-    visited = 0
+    visited = 0.0
     saved_blocks = 0
-    total = 0
+    total = 0.0
     for e in enums:
-        total += e.tb.ns_total
+        est = e.tb.est_postings(lo, hi)
+        total += est
         if e.ub >= theta:
-            visited += e.tb.ns_total
+            visited += est
         else:
             saved_blocks += len(e.tb.maxs) - len(e.tb.dcache)
-    if total == 0:
+    if total <= 0.0:
         return False
     return visited * C_PIVOT < total * C_VEC + saved_blocks * C_DECODE
 
@@ -327,24 +392,40 @@ def _use_daat(enums: list[_ListEnum], theta: float, blocks: bool) -> bool:
 
 def _exhaustive_merge(
     enums: list[_ListEnum], norms: np.ndarray, nbase: int, lo: int,
-    hi: int, k: int,
+    hi: int, k: int, theta: float = 0.0, use_block_max: bool = False,
 ) -> list[tuple]:
     """Vectorized exhaustive scoring for groups where pruning cannot
     skip enough to pay for the per-doc DAAT loop. Uncached blocks decode
     in ONE batched-decoder call (the lockstep DINT kernel where the
     codec provides it); results land in the shard's memo so later
     queries in the batch reuse them. Aggregation is a bincount over the
-    shard's contiguous doc range; top-k by (rounded, -doc)."""
+    shard's contiguous doc range; top-k by (rounded, -doc).
+
+    With use_block_max (the WAND variant), blocks whose cross-list bound
+    qw_i·block_max_weight_i(b) + Σ_{j≠i} ub_j < θ are skipped BEFORE
+    decode — the same lossless filter as the relational plan's step 3
+    (operators/wand.py): every doc in such a block has total score
+    < θ_eff, so it cannot enter the top-k, and a doc that resurfaces via
+    another list's blocks carries a partial score < θ_eff that rounds
+    strictly below every true top-k doc (the 2e-9 margin > the 1e-9
+    rounding quantum). NULL (NaN) block_max_weight keeps the block."""
     blocks: list[tuple[_ListEnum, int]] = []
     need_d: list[tuple[_ListEnum, int]] = []
     need_f: list[tuple[_ListEnum, int]] = []
+    sum_ub = sum(e.ub for e in enums) if use_block_max else 0.0
     for e in enums:
         tb = e.tb
+        others = sum_ub - e.ub
+        skip_bound = use_block_max and theta > 0.0
         for bi in range(len(tb.maxs)):
             if tb.maxs[bi] < lo:
                 continue
             if tb.bases[bi] + 1 >= hi:
                 break
+            if skip_bound:
+                w = tb.bmw[bi]
+                if w == w and e.qw * w + others < theta:
+                    continue
             blocks.append((e, bi))
             if bi not in tb.dcache:
                 need_d.append((e, bi))
@@ -426,8 +507,10 @@ def _wand_core(
     enums: list[_ListEnum], seed: float, norms, nbase: int, lo: int,
     hi: int, k: int, use_block_max: bool,
 ) -> list[tuple]:
-    if not _use_daat(enums, seed, blocks=use_block_max):
-        return _exhaustive_merge(enums, norms, nbase, lo, hi, k)
+    if not _use_daat(enums, seed, lo, hi, blocks=use_block_max):
+        return _exhaustive_merge(
+            enums, norms, nbase, lo, hi, k, seed, use_block_max
+        )
 
     heap: list[tuple] = []
     while True:
@@ -472,6 +555,19 @@ def _wand_core(
                 big = max(enums[: p + 1], key=lambda e: e.ub)
                 big.next_geq(d2)
                 continue
+        # exactness barrier: pivoting on docID LOWER BOUNDS is lossless
+        # (a list with lb ≥ pivot has true cur ≥ pivot, so docs before
+        # the pivot candidate still see Σub < θ; the block-max skip
+        # above is metadata-only and its jump target min(boundary+1,
+        # next lb) is conservative) — but evaluating/advancing at
+        # pivot_doc needs true docIDs. Materialize only the prefix
+        # enums; suffix lists stay undecoded. Re-pivot after: true curs
+        # may have moved past the tentative pivot.
+        need = [e for e in enums[: p + 1] if e.approx]
+        if need:
+            for e in need:
+                e.materialize()
+            continue
         if enums[0].cur == pivot_doc:
             # full evaluation: every enum sitting on pivot contributes
             nl = float(norms[pivot_doc - nbase])
@@ -505,7 +601,9 @@ def _maxscore_core(
     """Term-level MaxScore (queries.hpp:459-573): ascending-bound prefix
     is non-essential; DAAT over essential lists only; non-essential
     contributions added by next_geq probes with early termination."""
-    if not _use_daat(enums, seed, blocks=False):
+    if not _use_daat(enums, seed, lo, hi, blocks=False):
+        # no block-max filter here: MaxScore is TERM-level pruning by
+        # contract (queries.hpp:459-573 never consults block maxima)
         return _exhaustive_merge(enums, norms, nbase, lo, hi, k)
 
     enums.sort(key=lambda e: e.ub)  # ascending bound
@@ -521,6 +619,13 @@ def _maxscore_core(
         live = [e for e in enums[ess:] if not e.exhausted and e.cur < hi]
         if not live:
             break
+        # essential lists are fully traversed anyway — resolve any
+        # metadata-only positions before picking the DAAT doc, then
+        # recompute (a materialized cur may have moved past hi)
+        if any(e.approx for e in live):
+            for e in live:
+                e.materialize()
+            continue
         d = min(e.cur for e in live)
         nl = float(norms[d - nbase])
         score = 0.0
@@ -537,6 +642,10 @@ def _maxscore_core(
             if e.exhausted:
                 continue
             e.next_geq(d)
+            if e.approx and e.cur == d:
+                # metadata says the landing block COULD contain d —
+                # decode to test membership (lb > d needs no decode)
+                e.materialize()
             if not e.exhausted and e.cur == d:
                 score += e.qw * _dtw(float(e.freq()), nl)
         if score >= theta or len(heap) < k:
