@@ -143,3 +143,28 @@ def test_wand_and_maxscore_rank_identical_on_reference_queries(spark, ref_setup)
         for r in got:
             by_q.setdefault(r["query_id"], []).append(r)
         _assert_rank_identical(by_q, oracle, qlog)
+
+
+def test_sharded_defaults_rank_identical_on_reference_queries(spark, ref_setup):
+    """The DEFAULT realization (doc-sharded DAAT cogroup kernels,
+    cogrouped norm slices) against all 500 reference queries — closes
+    the loop on the reference's own oracle relationship
+    (test_ranked_queries.cpp:42-74) for the path the engine actually
+    serves by default."""
+    idx, oracle, qlog, queries = ref_setup
+    from dint_spark.build.blocks import build_block_index
+    from dint_spark.codecs.registry import get_codec
+    from dint_spark.operators.wand_shard import (
+        maxscore_topk_sharded,
+        wand_topk_sharded,
+    )
+    from dint_spark.util import materialize
+
+    codec = get_codec("block_vbyte")
+    bidx = materialize(build_block_index(idx.postings, codec))
+    for fn in (wand_topk_sharded, maxscore_topk_sharded):
+        got = fn(idx, bidx, codec, queries, idx.num_docs, k=K).collect()
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r)
+        _assert_rank_identical(by_q, oracle, qlog)
