@@ -186,6 +186,39 @@ def collect_pattern_stats_multi(
     )
 
 
+def _ranked_candidates(
+    stats: DataFrame,
+    stream: str,
+    limit: int,
+    total_ints: int | None = None,
+    eps: float = 1e-9,
+    selector: int | None = None,
+) -> list[np.ndarray]:
+    """Cost-filtered candidates ranked by (freq DESC, size DESC), top
+    `limit` — the DSF order (freq_length_sorter). Distributed
+    TakeOrdered; driver sees ≤ limit rows."""
+    s = stats.filter(F.col("stream") == stream)
+    if selector is not None:
+        s = s.filter(F.col("selector") == selector)
+    s = s.withColumn("size", (F.octet_length("pattern") / 4).cast("int"))
+    if total_ints:
+        min_saving = eps * 48.0 * float(total_ints)
+        s = s.filter(
+            (F.col("size") == 1)
+            | (F.col("freq") * (48 * F.col("size") - 16) > F.lit(min_saving))
+        )
+    top = (
+        s.orderBy(F.desc("freq"), F.desc("size"))
+        .limit(limit)
+        .select("pattern", "freq", "size")
+        .collect()
+    )
+    return [
+        (np.frombuffer(r["pattern"], dtype=np.uint32), int(r["freq"]))
+        for r in top
+    ]
+
+
 def select_dictionary(
     stats: DataFrame,
     stream: str,
@@ -201,23 +234,12 @@ def select_dictionary(
     codeword cost); keep it iff the saving fraction of the stream's total
     exceeds eps. Singletons are always kept (exception codes are dearer).
     """
-    s = stats.filter(F.col("stream") == stream)
-    if selector is not None:
-        s = s.filter(F.col("selector") == selector)
-    s = s.withColumn("size", (F.octet_length("pattern") / 4).cast("int"))
-    if total_ints:
-        min_saving = eps * 48.0 * float(total_ints)
-        s = s.filter(
-            (F.col("size") == 1)
-            | (F.col("freq") * (48 * F.col("size") - 16) > F.lit(min_saving))
+    return [
+        p
+        for p, _f in _ranked_candidates(
+            stats, stream, capacity, total_ints, eps, selector
         )
-    top = (
-        s.orderBy(F.desc("freq"), F.desc("size"))
-        .limit(capacity)
-        .select("pattern")
-        .collect()
-    )
-    return [np.frombuffer(r["pattern"], dtype=np.uint32) for r in top]
+    ]
 
 
 def learn_dint_model(
@@ -240,26 +262,111 @@ def learn_dint_model(
     )
 
 
+def _refill_banks(
+    stats: DataFrame,
+    stream: str,
+    per_sel: "list[list[tuple[np.ndarray, int]]]",
+    capacity: int,
+    n_postings: int,
+    eps: float,
+) -> "list[list[np.ndarray]]":
+    """GLOBAL entry-budget rebalancing across the NUM_SELECTORS
+    dictionaries (our extension past the reference's fixed 65,529 per
+    selector, dint_configuration.hpp:20-28).
+
+    When dictionary capacity binds, some selector classes saturate while
+    others sit nearly empty (measured on the 5.4M-posting corpus: docs
+    selectors 2-4 full, 0/1/5 at 486/8,965/0 → ~187k of 393k codeword
+    slots idle). Because the multi encoder runs a TOURNAMENT — every
+    block tries every dictionary at both codeword widths and the
+    smallest encoding wins (codecs/dint.py MultiPackedDint) — idle
+    dictionaries can serve as EXTENDED BANKS for the saturated classes:
+    each underfull dictionary keeps its own patterns and is topped up
+    with a half-head/half-tail mix of a saturated selector's candidates
+    (head: its top patterns, duplicated so a block choosing the bank
+    still covers the high-frequency mass; tail: the marginal-saving
+    ranks the primary dictionary had to cut). Block parse is
+    winner-take-all over one dictionary, so head+tail must be
+    CO-LOCATED — scattering tail patterns across banks would never win
+    a tournament. Wire format unchanged: same 6 dictionaries, same
+    control byte, decoder untouched."""
+    fills = [len(p) for p in per_sel]
+    free = [(capacity - f, s) for s, f in enumerate(fills) if capacity - f > 0]
+    sat = [s for s, f in enumerate(fills) if f >= capacity]
+    if not free or not sat:
+        return [[p for p, _f in lst] for lst in per_sel]
+    # rank saturated selectors by the saving their TAIL left on the
+    # table (the refill priority); tails fetched once per selector
+    tails: dict[int, list] = {}
+    tail_saving: list[tuple[int, int]] = []
+    for s in sat:
+        ranked = _ranked_candidates(
+            stats, stream, 2 * capacity, n_postings, eps, selector=s
+        )
+        tails[s] = ranked
+        sv = sum(
+            f * (48 * len(p) - 16) for p, f in ranked[capacity:]
+        )
+        tail_saving.append((sv, s))
+    tail_saving.sort(reverse=True)
+    # biggest free bank serves the biggest leftover saving
+    free.sort(reverse=True)
+    out = [[p for p, _f in lst] for lst in per_sel]
+    for (bank_free, bank), (_sv, s) in zip(free, tail_saving):
+        have = {p.tobytes() for p in out[bank]}
+        ranked = tails[s]
+        head_n = min(capacity // 2, bank_free // 2)
+        picks: list[np.ndarray] = []
+        for p, _f in ranked[:head_n]:
+            b = p.tobytes()
+            if b not in have:
+                have.add(b)
+                picks.append(p)
+        for p, _f in ranked[capacity:]:
+            if len(picks) >= bank_free:
+                break
+            b = p.tobytes()
+            if b not in have:
+                have.add(b)
+                picks.append(p)
+        out[bank] = out[bank] + picks
+    return out
+
+
 def learn_multi_dint_model(
     postings: DataFrame,
     capacity: int = NUM_ENTRIES - RESERVED,
     block_size: int = BLOCK_SIZE,
     eps: float = 1e-9,
+    refill: bool = True,
 ) -> MultiDintModel:
     """2 × NUM_SELECTORS dictionaries, one selector-partitioned stats pass
     (dict_freq_index builder with block_multi_statistics). The DSF cost
     filter uses the stream-global posting count, as the reference's
-    filter closes over total_integers (block_statistics.hpp:245-249)."""
+    filter closes over total_integers (block_statistics.hpp:245-249).
+
+    refill=True additionally rebalances idle codeword slots into
+    extended banks for the saturated selector classes (_refill_banks) —
+    a strict superset of the reference's per-selector selection;
+    refill=False reproduces the reference's allocation exactly."""
     n_postings = postings.count()
     stats = collect_pattern_stats_multi(postings, block_size).cache()
     try:
         dicts: dict[str, list[DintDict]] = {"docs": [], "freqs": []}
         for stream in ("docs", "freqs"):
-            for sel in range(NUM_SELECTORS):
-                pats = select_dictionary(
+            per_sel = [
+                _ranked_candidates(
                     stats, stream, capacity, n_postings, eps, selector=sel
                 )
-                dicts[stream].append(DintDict.from_patterns(pats))
+                for sel in range(NUM_SELECTORS)
+            ]
+            if refill:
+                pat_lists = _refill_banks(
+                    stats, stream, per_sel, capacity, n_postings, eps
+                )
+            else:
+                pat_lists = [[p for p, _f in lst] for lst in per_sel]
+            dicts[stream] = [DintDict.from_patterns(p) for p in pat_lists]
     finally:
         stats.unpersist()
     return MultiDintModel(docs=dicts["docs"], freqs=dicts["freqs"])
