@@ -61,14 +61,13 @@ optimizer.
 from __future__ import annotations
 
 import heapq
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from dint_spark.build.postings import TOPK_BOUND_K, FullTextIndex
-from dint_spark.functions.bm25 import B, EPS, K1, query_term_weight
+from dint_spark.functions.bm25 import B, K1, query_term_weight
 from dint_spark.operators.boolean import query_terms
 from dint_spark.operators.ranked import topk
 
