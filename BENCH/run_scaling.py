@@ -218,7 +218,10 @@ pure-CPU multiprocess ceiling measures {cc[str(LEVELS[0])]} →
 {cc[str(LEVELS[1])]} M ops/s for 2→8 procs (eff {cc['efficiency']}) and
 only ~2× from 8→32 (host oversubscription, high guest sys%). No Spark
 workload can out-scale the machine's own CPU scaling; 2→8 is the
-hardware-linear regime.
+hardware-linear regime. (The ceiling itself is a point-in-time sample
+of a co-tenant-noisy host — each workload row is best-of-3 and can
+land in a quieter window than the ceiling's own measurement, so rows
+slightly above the ceiling read as ~linear, not super-linear.)
 
 | workload | local[2] | local[8] | speedup (4× cores) | efficiency |
 |---|---|---|---|---|
@@ -244,14 +247,20 @@ reports 4.766-5.939 docs / 2.455-3.047 freqs on its own 3.3M-posting
 fixture (different gap distribution, same ballpark).
 
 multi_packed vs single_packed on THIS corpus (BENCH/multi_dict_50k.json,
-`python tools/multi_dict_report.py synth:{args.docs}`): docs 5.080 vs
-5.948 (−14.6%), freqs 0.754 vs 1.200 (−37.2%) — the reference reports
-−20%/−19% (README.md:112-114). The advantage exists only where
-dictionary capacity binds (single's 65,529 entries are FULL here); at
-sf0.01-0.1 the pattern space fits one dictionary and multi degenerates
-to single + the 1-byte selector control (the round-2 judge measured
-that regime). Freqs win harder than the reference via the b=8 codeword
-width (small per-selector dicts → 1-byte codewords).
+`python tools/multi_dict_report.py synth:{args.docs}`): docs 4.369 vs
+5.948 (−26.6%), freqs 0.747 vs 1.201 (−37.8%) — the reference reports
+−20%/−19% (README.md:112-114). The docs gain passes the reference via
+GLOBAL entry-budget rebalancing (build/dint_build.py:_refill_banks):
+idle codeword slots of underfull selector classes are refilled as
+head+tail extended banks for the saturated classes; same wire format,
+the tournament encoder picks them up (the refilled banks win 10k+
+block tournaments). The advantage exists only where dictionary
+capacity binds (single's 65,529 entries are FULL here); at sf0.01-0.1
+the pattern space fits one dictionary and multi degenerates to single
++ the 1-byte selector control (a CI gate pins both regimes,
+tests/test_compression_gate.py). Freqs win harder than the reference
+via the b=8 codeword width (small per-selector dicts → 1-byte
+codewords).
 
 WAND/MaxScore pruning evidence: BENCH/wand_pruning.json
 (`python BENCH/wand_pruning.py`) — on a 200k-doc Zipf corpus the
