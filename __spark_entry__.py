@@ -192,6 +192,40 @@ def q_ft_block_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_INGEST_CACHE: dict = {}
+
+
+def q_ft_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest parity (dint_spark/streaming/ingest.py):
+    the documents table is staged as THREE parquet drops in a landing
+    dir, streamed with a file source (maxFilesPerTrigger=1 under
+    Trigger.AvailableNow → three real micro-batches), each batch's
+    postings delta appended via foreachBatch, then compacted with the
+    batch path's dense term_id assignment. The result must hash-match
+    the batch ft_postings oracle — stream-built ≡ batch-built."""
+    import os
+    import tempfile
+
+    from dint_spark.streaming.ingest import (
+        compact_postings,
+        run_ingest,
+        stream_documents,
+    )
+
+    key = (id(spark), sf_dir)
+    out = _STREAM_INGEST_CACHE.get(key)
+    if out is None:
+        work = tempfile.mkdtemp(prefix="dint_stream_ingest_")
+        landing = os.path.join(work, "landing")
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs.select("doc_id", "text").repartition(3).write.parquet(landing)
+        stream = stream_documents(spark, landing, max_files_per_trigger=1)
+        run_ingest(stream, work)
+        out = work
+        _STREAM_INGEST_CACHE[key] = out
+    return compact_postings(spark, out)
+
+
 def q_ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bits-per-integer per codec (rows-only check: byte sizes aren't
     SQL-derivable). Reference metric surface: README.md:110-115 bpi table.
@@ -356,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_decode_roundtrip": q_ft_decode_roundtrip,
         "ft_decode_roundtrip_multi": q_ft_decode_roundtrip_multi,
         "ft_block_meta": q_ft_block_meta,
+        "ft_stream_ingest": q_ft_stream_ingest,
         "ft_index_stats": q_ft_index_stats,
         "ft_dint_histogram": q_ft_dint_histogram,
         "dd_exact": q_dd_exact,
@@ -397,6 +432,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_decode_roundtrip": S.POSTINGS,
         "ft_decode_roundtrip_multi": S.POSTINGS,
         "ft_block_meta": S.BLOCK_META,
+        "ft_stream_ingest": S.POSTINGS,  # stream-built ≡ batch-built
+
         # ft_index_stats intentionally has no oracle (binary payload sizes
         # are not SQL-derivable) → driver records rows-only check.
         "dd_exact": P.DD_EXACT,

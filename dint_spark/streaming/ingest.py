@@ -1,0 +1,104 @@
+"""Structured Streaming ingest — incremental postings build.
+
+The reference builds its index from a finished, pre-tokenized
+collection (ref:include/ds2i/binary_freq_collection.hpp:11-29 mmaps a
+static file); a Spark-native engine additionally ingests corpora AS
+THEY LAND. The streaming model exploits the lakehouse append contract:
+
+  * documents are IMMUTABLE and each arrives exactly once, so the
+    postings contribution of a micro-batch — tokenize →
+    (term, doc_id, tf) — is SELF-CONTAINED: a doc_id never spans
+    micro-batches, hence no cross-batch streaming state, no watermark,
+    no late-data handling is needed for the postings stream itself.
+    Each micro-batch APPENDS its delta to a partitioned postings table
+    (foreachBatch → parquet append, exactly-once via the stream
+    checkpoint + idempotent re-run of a failed batch's append being
+    deduplicated at compaction).
+  * artifacts that need CORPUS-GLOBAL totals (dense term_ids, df,
+    avgdl/norm_len, term_meta/w10) cannot be finalized per batch —
+    they are rebuilt relationally from the accumulated postings at
+    compaction/query time with the SAME builders the batch path uses
+    (build/postings.py), which makes a stream-built index
+    bit-identical to a batch-built one (tests/test_streaming_ingest.py
+    asserts equality, and the ft_stream_ingest driver query shares
+    ft_postings' DuckDB oracle).
+
+Scale shape: per micro-batch work is one map-side-combined aggregation
+over the batch's tokens (no shuffle wider than the batch); the
+accumulated table is ordinary partitioned parquet, so compaction is the
+existing batch build — at 100 TB the stream is just the feeder that
+keeps deltas small and the expensive global rebuild amortizes across
+many appended batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dint_spark.build.postings import build_postings_raw, build_vocab
+from dint_spark.tokenizer import tokenize_words
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def stream_documents(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = DOC_SCHEMA,
+    max_files_per_trigger: "int | None" = None,
+) -> DataFrame:
+    """File-source document stream (the lakehouse landing-zone shape).
+    max_files_per_trigger bounds micro-batch size; Trigger.AvailableNow
+    in run_ingest still drains everything, in multiple batches."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.parquet(source_dir)
+
+
+def run_ingest(
+    docs_stream: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    tokenizer=tokenize_words,
+) -> int:
+    """Drain the stream (Trigger.AvailableNow) appending per-batch
+    postings deltas (term, doc_id, tf) under out_dir/postings_raw.
+    Returns the number of micro-batches processed."""
+    postings_dir = os.path.join(out_dir, "postings_raw")
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tokens = tokenizer(batch_df, text_col=text_col, doc_id_col=doc_id_col)
+        delta = build_postings_raw(tokens)  # within-batch agg: complete
+        delta.write.mode("append").parquet(postings_dir)
+        n_batches["n"] += 1
+
+    q = (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def compact_postings(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Accumulated deltas → (term_id, doc_id, tf) with the batch path's
+    dense lexicographic term_ids (build_vocab two-level prefix sums) —
+    the ft_postings surface. A doc re-appended by a replayed failed
+    batch would surface as a duplicate (term, doc_id) row; max(tf)
+    collapses the replay (appends are idempotent per doc)."""
+    raw = (
+        spark.read.parquet(os.path.join(out_dir, "postings_raw"))
+        .groupBy("term", "doc_id")
+        .agg(F.max("tf").alias("tf"))
+    )
+    vocab = build_vocab(raw)
+    return raw.join(vocab.select("term", "term_id"), "term").select(
+        "term_id", "doc_id", "tf"
+    )
