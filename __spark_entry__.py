@@ -226,6 +226,39 @@ def q_ft_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compact_postings(spark, out)
 
 
+def q_st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup (applyInPandasWithState): state =
+    first-seen doc per content hash, carried across micro-batches. The
+    documents table is staged as three doc_id-ordered drops so arrival
+    order is ascending — first-seen then equals the global
+    min(doc_id) per text, which is the batch SQL oracle (stateful
+    streaming made hash-checkable)."""
+    import os
+    import tempfile
+
+    from dint_spark.streaming.ingest import run_streaming_dedup, stream_documents
+
+    key = ("st_dedup", id(spark), sf_dir)
+    res = _STREAM_INGEST_CACHE.get(key)
+    if res is None:
+        work = tempfile.mkdtemp(prefix="dint_stream_dedup_")
+        landing = os.path.join(work, "landing")
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        max_id = docs.agg(F.max("doc_id")).first()[0]
+        bounds = [-1, max_id // 3, (2 * max_id) // 3, max_id]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):  # ascending drops
+            docs.filter(
+                (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
+            ).coalesce(1).write.mode("append").parquet(landing)
+        stream = stream_documents(spark, landing, max_files_per_trigger=1)
+        run_streaming_dedup(stream, work)
+        res = os.path.join(work, "dedup")
+        _STREAM_INGEST_CACHE[key] = res
+    return spark.read.parquet(res).select("doc_id", "canonical_doc_id", "is_dup")
+
+
 def q_ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bits-per-integer per codec (rows-only check: byte sizes aren't
     SQL-derivable). Reference metric surface: README.md:110-115 bpi table.
@@ -391,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_decode_roundtrip_multi": q_ft_decode_roundtrip_multi,
         "ft_block_meta": q_ft_block_meta,
         "ft_stream_ingest": q_ft_stream_ingest,
+        "st_dedup_stream": q_st_dedup_stream,
         "ft_index_stats": q_ft_index_stats,
         "ft_dint_histogram": q_ft_dint_histogram,
         "dd_exact": q_dd_exact,
@@ -433,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_decode_roundtrip_multi": S.POSTINGS,
         "ft_block_meta": S.BLOCK_META,
         "ft_stream_ingest": S.POSTINGS,  # stream-built ≡ batch-built
+        "st_dedup_stream": P.ST_DEDUP_STREAM,
 
         # ft_index_stats intentionally has no oracle (binary payload sizes
         # are not SQL-derivable) → driver records rows-only check.

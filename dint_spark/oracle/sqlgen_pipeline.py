@@ -347,3 +347,13 @@ SELECT doc_id,
        (octet_length(encode(text)) % 89 + 1)::BIGINT AS fake_height
 FROM documents
 """
+
+ST_DEDUP_STREAM = """
+WITH g AS (
+  SELECT md5(text) AS h, min(doc_id) AS canonical_doc_id
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, g.canonical_doc_id,
+       d.doc_id <> g.canonical_doc_id AS is_dup
+FROM documents d JOIN g ON md5(d.text) = g.h
+"""

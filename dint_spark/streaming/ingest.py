@@ -102,3 +102,89 @@ def compact_postings(spark: SparkSession, out_dir: str) -> DataFrame:
     return raw.join(vocab.select("term", "term_id"), "term").select(
         "term_id", "doc_id", "tf"
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming dedup (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact-dedup: (doc_id, canonical_doc_id, is_dup), state
+    = the smallest doc_id seen so far per content hash, carried ACROSS
+    micro-batches with applyInPandasWithState (the custom-stateful-
+    operator surface of Structured Streaming).
+
+    Semantics: canonical_doc_id = min doc_id among all docs with this
+    exact text seen UP TO AND INCLUDING the row's micro-batch. When the
+    stream delivers docs in ascending doc_id order (the landing-zone
+    staging in q_ft_stream_dedup writes drops that way), this equals
+    the global  min(doc_id) OVER (PARTITION BY text)  — the batch SQL
+    oracle — so the stateful operator is hash-checkable.
+
+    Scale shape: groups key on sha2(text) (JVM-side), so state is one
+    (hash → int64) entry per DISTINCT document text, partitioned by the
+    state store across executors; the per-batch kernel is a vectorized
+    pandas min. At 100 TB this is the standard streaming-dedup layout
+    (RocksDB-backed state store, key space sharded by hash).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        seen_min = state.get[0] if state.exists else None
+        outs = []
+        for pdf in pdfs:
+            ids = pdf["doc_id"]
+            batch_min = int(ids.min())
+            if seen_min is None or batch_min < seen_min:
+                seen_min = batch_min
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "canonical_doc_id": seen_min,
+                        "is_dup": ids != seen_min,
+                    }
+                )
+            )
+        state.update((int(seen_min),))
+        yield pd.concat(outs, ignore_index=True)
+
+    keyed = docs_stream.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("_h"),
+    )
+    return keyed.groupBy("_h").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="doc_id long, canonical_doc_id long, is_dup boolean",
+        stateStructType="min_id long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_streaming_dedup(
+    docs_stream: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Drain the stream (AvailableNow) into out_dir/dedup parquet and
+    return the accumulated result."""
+    spark = docs_stream.sparkSession
+    res_dir = os.path.join(out_dir, "dedup")
+    q = (
+        streaming_exact_dedup(docs_stream, text_col, doc_id_col)
+        .writeStream.format("parquet")
+        .option("path", res_dir)
+        .option("checkpointLocation", os.path.join(out_dir, "_dedup_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(res_dir)

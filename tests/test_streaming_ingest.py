@@ -78,3 +78,32 @@ def test_replayed_batch_append_is_idempotent(spark, tmp_path):
     )
     # a=0, b=1, c=2 lexicographic dense ids
     assert got == [(0, 0, 2), (1, 0, 1), (1, 1, 1), (2, 1, 1)]
+
+
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: a duplicate arriving in a LATER
+    micro-batch is flagged against state carried from the batch where
+    its canonical first appeared."""
+    from dint_spark.streaming.ingest import run_streaming_dedup, stream_documents
+
+    src = os.path.join(tmp_path, "landing3")
+    out = os.path.join(tmp_path, "dedup3")
+    drops = [
+        [(0, "unique zero"), (1, "shared alpha"), (2, "shared beta")],
+        [(4, "unique four"), (5, "shared alpha")],   # dup of doc 1
+        [(8, "shared beta"), (9, "unique nine")],    # dup of doc 2
+    ]
+    for rows in drops:  # sequential writes → ascending arrival order
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream = stream_documents(spark, src, max_files_per_trigger=1)
+    got = {
+        r["doc_id"]: (r["canonical_doc_id"], r["is_dup"])
+        for r in run_streaming_dedup(stream, out).collect()
+    }
+    assert got[5] == (1, True), got   # cross-batch dup (state hit)
+    assert got[8] == (2, True), got
+    assert got[1] == (1, False) and got[2] == (2, False)
+    assert all(not got[d][1] for d in (0, 4, 9))
