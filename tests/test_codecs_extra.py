@@ -106,3 +106,62 @@ def test_elias_gamma_delta_roundtrip(name):
         assert np.array_equal(c.decode_docs(c.encode_docs(v), n), v), (name, t)
     # canonical: γ(1) = '1' → value 0 encodes to the single bit 1
     assert c.encode_docs(np.array([0], dtype=np.uint32))[0] & 0x80
+
+
+def test_ef_enumerator_matches_decode():
+    """EliasFanoEnumerator (move/next_geq, select-directory navigation,
+    compact_elias_fano.hpp:150-420 role) agrees with full decode on
+    random monotone sequences and random skip targets."""
+    import numpy as np
+
+    from dint_spark.codecs import elias_fano as ef
+
+    rng = np.random.default_rng(123)
+    for trial in range(8):
+        n = int(rng.integers(1, 400))
+        u = int(rng.integers(n + 1, n * 50 + 2))
+        vals = np.sort(rng.choice(u, size=n, replace=False)).astype(np.uint64)
+        buf = ef.encode(vals, universe=u)
+        ref = ef.decode(buf, n).astype(np.int64)
+        en = ef.EliasFanoEnumerator(buf)
+        assert en.n == n
+        # move: random access parity
+        for i in rng.integers(0, n, size=20):
+            assert en.move(int(i)) == int(ref[int(i)]), (trial, i)
+        # next_geq: random targets incl. boundaries
+        targets = np.concatenate(
+            [rng.integers(0, u + 2, size=40), [0, int(ref[0]), int(ref[-1]), u]]
+        )
+        for t in targets:
+            t = int(t)
+            got = en.next_geq(t)
+            j = int(np.searchsorted(ref, t))
+            if j >= n:
+                assert got is None, (trial, t, got)
+            else:
+                assert got == (j, int(ref[j])), (trial, t, got, (j, int(ref[j])))
+
+
+def test_ef_enumerator_skips_without_full_low_unpack():
+    """The enumerator touches only the target bucket's lower bits: a
+    single next_geq on a large list gathers ≤ bucket-sized low slices
+    (spot check via the gather size)."""
+    import numpy as np
+
+    from dint_spark.codecs import elias_fano as ef
+
+    n, u = 5000, 1 << 20
+    rng = np.random.default_rng(7)
+    vals = np.sort(rng.choice(u, size=n, replace=False)).astype(np.uint64)
+    buf = ef.encode(vals, universe=u)
+    en = ef.EliasFanoEnumerator(buf)
+    calls = []
+    orig = en._lows
+
+    def spy(i0, i1):
+        calls.append(i1 - i0)
+        return orig(i0, i1)
+
+    en._lows = spy
+    en.next_geq(int(vals[n // 2]) + 1)
+    assert calls and max(calls) < n // 10, calls  # bucket-local, not full
