@@ -652,9 +652,11 @@ def _maxscore_core(
     return [(-nd, raw) for _r, nd, raw in heap]
 
 
-def _run_query(algo, qrows, cache, codec, norms, nbase, lo, hi, k, stats):
+def _run_query(algo, qrows, cache, codec, norms, nbase, lo, hi, k, stats,
+               seed=None):
     enums = _make_enums(qrows, cache, codec, lo, hi, stats)
-    seed = _seed_from_rows(qrows, k)
+    if seed is None:
+        seed = _seed_from_rows(qrows, k)
     if algo == "maxscore":
         return _maxscore_core(enums, seed, norms, nbase, lo, hi, k)
     return _wand_core(enums, seed, norms, nbase, lo, hi, k, algo == "wand")
@@ -739,7 +741,59 @@ def _qt_meta(idx: FullTextIndex, queries: DataFrame, num_docs: int) -> DataFrame
     qt = qt.join(F.broadcast(idx.vocab.select("term", "term_id", "df")), "term")
     return qt.withColumn(
         "qw", query_term_weight(F.col("qtf"), F.col("df"), F.lit(num_docs))
-    ).join(F.broadcast(idx.term_meta.select("term_id", "w10")), "term_id")
+    ).join(
+        F.broadcast(idx.term_meta.select("term_id", "max_weight", "w10")),
+        "term_id",
+    )
+
+
+def _exact_seed_df(idx, bidx, codec, qt: DataFrame, k: int) -> DataFrame:
+    """(query_id, seed) for k > TOPK_BOUND_K: the kth-best PARTIAL score
+    of each query's highest-upper-bound term — a valid lower bound on
+    the true kth TOTAL score (total ≥ partial for every doc), computed
+    with the same bounded two-phase top-k as the relational plan
+    (operators/wand.py step 1, k > 10 branch; ref queries.hpp:150-188
+    topk_queue). One extra decode of ONE list per query, shared across
+    all shards of the batch; queries whose best list holds < k docs get
+    no row (kernel falls back to seed 0)."""
+    from pyspark.sql import Window as W
+
+    from dint_spark.build.blocks import decode_block_index
+    from dint_spark.functions.bm25 import doc_term_weight
+    from dint_spark.operators.wand import _bounded_kth
+
+    w_best = W.partitionBy("query_id").orderBy(
+        F.desc(F.col("qw") * F.col("max_weight")), F.asc("term_id")
+    )
+    best = (
+        qt.withColumn("_r", F.row_number().over(w_best))
+        .filter(F.col("_r") == 1)
+        .select("query_id", "term_id", "qw")
+    )
+    best_dec = decode_block_index(
+        bidx.join(
+            F.broadcast(best.select("term_id").distinct()), "term_id", "left_semi"
+        ),
+        codec,
+    )
+    scores = (
+        best_dec.join(idx.docs.select("doc_id", "norm_len"), "doc_id")
+        .join(F.broadcast(best), "term_id")
+        .select(
+            "query_id",
+            (F.col("qw") * doc_term_weight(F.col("tf"), F.col("norm_len"))).alias("_s"),
+        )
+    )
+    return (
+        _bounded_kth(scores, k)
+        .filter(F.col("cnt") >= k)
+        .select(
+            "query_id",
+            F.greatest(
+                F.col("kth") - F.lit(THETA_MARGIN), F.lit(0.0)
+            ).alias("seed"),
+        )
+    )
 
 
 def _shard_col(shard_size) -> F.Column:
@@ -842,7 +896,8 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
         ss = -(-universe // max(1, nsh))
     else:
         nsh, ss = static_layout(universe)
-    qt = _qt_meta(idx, queries, num_docs).select("query_id", "term_id", "qw", "w10")
+    qt_full = _qt_meta(idx, queries, num_docs)
+    qt = qt_full.select("query_id", "term_id", "qw", "w10")
     # index slice ships ONCE: blocks of the batch's terms, deduped
     blocks_sh = (
         bidx.join(
@@ -859,6 +914,17 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
     qx = qt.crossJoin(
         F.broadcast(spark.range(nsh).select(F.col("id").alias("_shard")))
     )
+    if k > TOPK_BOUND_K:
+        # w10 only bounds the 10th-best; for larger k ship an EXACT
+        # per-query kth-partial seed (tiny |queries|-row frame) so
+        # pruning still engages instead of seeding 0
+        qx = qx.join(
+            F.broadcast(_exact_seed_df(idx, bidx, codec, qt_full, k)),
+            "query_id",
+            "left",
+        )
+    else:
+        qx = qx.withColumn("seed", F.lit(None).cast("double"))
     codec_bc = spark.sparkContext.broadcast(codec)
 
     stats_mode = emit == "stats"
@@ -903,6 +969,7 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
         tids = right["term_id"].to_numpy(dtype=np.int64)
         qws = right["qw"].to_numpy(dtype=np.float64)
         w10s = right["w10"].to_numpy(dtype=np.float64)
+        seeds = right["seed"].to_numpy(dtype=np.float64)  # NaN → derive
         q_arr = right["query_id"].to_numpy(dtype=np.int64)
         order = np.argsort(q_arr, kind="stable")
         bounds = np.flatnonzero(
@@ -921,7 +988,9 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
                     tb.dcache.clear()
                     tb.fcache.clear()
             stats = [0, 0, 0]
-            rows = _run_query(algo, qrows, cache, c, nv, nbase, lo, hi, k, stats)
+            sv = seeds[sel[0]]
+            rows = _run_query(algo, qrows, cache, c, nv, nbase, lo, hi, k,
+                              stats, seed=float(sv) if sv == sv else None)
             if stats_mode:
                 out_rows.append((qid, shard, stats[0], stats[1], stats[2]))
             else:

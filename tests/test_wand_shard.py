@@ -223,3 +223,25 @@ def test_sharded_rank_identity_k_gt_10(spark, zipf_setup, algo):
         fn(idx, bidx, codec, q, idx.num_docs, norms, k=25, num_shards=2)
     )
     assert got == ref
+
+
+def test_k_gt_10_exact_seed_still_prunes(spark, zipf_setup):
+    """At k=25 the w10 seed is invalid, but the exact bounded-kth seed
+    (shipped per query into the cogroup) keeps pruning engaged: the
+    kernel still skips blocks on rare-anchored queries."""
+    from dint_spark.operators.wand_shard import wand_sharded_decode_stats
+
+    idx, bidx, codec, norms = zipf_setup
+    q = _zipf_queries(spark).filter(F.col("query_id").isin(0, 3, 4))
+    st = (
+        wand_sharded_decode_stats(
+            idx, bidx, codec, q, idx.num_docs, norms, k=25, num_shards=1
+        )
+        .agg(
+            F.sum("blocks_total").alias("t"),
+            F.sum("blocks_docs_decoded").alias("d"),
+        )
+        .first()
+    )
+    assert st["t"] > 0
+    assert st["d"] < st["t"], (st["d"], st["t"])
