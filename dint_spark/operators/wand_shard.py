@@ -684,7 +684,9 @@ def static_layout(universe: int) -> tuple[int, int]:
     return nsh, -(-universe // nsh)
 
 
-def norm_slices(norms_df: DataFrame, shard_size: int) -> DataFrame:
+def norm_slices(
+    norms_df: DataFrame, shard_size: int, chunk: int = NORM_CHUNK
+) -> DataFrame:
     """Pack (doc_id, norm_len) into per-shard slice rows that union into
     the cogroup's block side — the distributed replacement for the
     reference's node-resident norm_lens[] (wand_data.hpp:55-58).
@@ -699,6 +701,7 @@ def norm_slices(norms_df: DataFrame, shard_size: int) -> DataFrame:
     layout); docs_bytes/freqs_bytes carry raw little-endian int64 ids /
     float64 norms, chunked at NORM_CHUNK docs per row."""
     ssz = int(shard_size)
+    ck = int(chunk)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -707,8 +710,8 @@ def norm_slices(norms_df: DataFrame, shard_size: int) -> DataFrame:
         ids, vals = ids[o], vals[o]
         shard = int(ids[0] // ssz)
         rows = []
-        for s in range(0, len(ids), NORM_CHUNK):
-            i, v = ids[s : s + NORM_CHUNK], vals[s : s + NORM_CHUNK]
+        for s in range(0, len(ids), ck):
+            i, v = ids[s : s + ck], vals[s : s + ck]
             rows.append(
                 (NORM_SENTINEL, ssz, len(i), int(i[0]), int(i[-1]), None,
                  i.tobytes(), v.tobytes(), shard)

@@ -245,3 +245,62 @@ def test_k_gt_10_exact_seed_still_prunes(spark, zipf_setup):
     )
     assert st["t"] > 0
     assert st["d"] < st["t"], (st["d"], st["t"])
+
+
+def test_sharded_norms_sparse_universe(spark):
+    """docIDs with large holes (universe >> num_docs): the cogrouped
+    norm slices size by shard SPAN, shards tile the universe, and no
+    trailing doc is dropped — rank identity holds end to end."""
+    from dint_spark.build.blocks import build_block_index
+    from dint_spark.build.postings import build_fulltext_index
+    from dint_spark.codecs.registry import get_codec
+    from dint_spark.operators.ranked import ranked_or
+    from dint_spark.operators.wand_shard import wand_topk_sharded
+    from dint_spark.util import materialize
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for term, df in (("rare", 15), ("mid", 80), ("dense", 300)):
+        for d in rng.choice(400, size=df, replace=False):
+            rows += [(int(d) * 97 + 13, term)] * int(1 + d % 3)  # sparse ids
+    tokens = spark.createDataFrame(rows, schema="doc_id long, term string")
+    idx = build_fulltext_index(tokens, with_norm_len=True, cache=True)
+    codec = get_codec("block_vbyte")
+    bidx = materialize(build_block_index(idx.postings, codec))
+    q = spark.createDataFrame(
+        [(0, ["rare", "dense"]), (1, ["mid"]), (2, ["rare", "mid", "dense"])],
+        schema="query_id long, terms array<string>",
+    )
+    ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs))
+    got = _ranks(
+        wand_topk_sharded(idx, bidx, codec, q, idx.num_docs, None, num_shards=4)
+    )
+    assert got == ref
+
+
+def test_norm_slices_chunked_rows(spark, zipf_setup):
+    """Multiple packed slice rows per shard (chunk < shard population)
+    reassemble into the same result as single-row slices."""
+    from dint_spark.operators.ranked import ranked_or
+    from dint_spark.operators.wand_shard import norm_slices, wand_topk_sharded
+    from dint_spark.util import materialize
+
+    idx, bidx, codec, _norms = zipf_setup
+    q = _zipf_queries(spark).filter(F.col("query_id").isin(0, 3))
+    universe = int(idx.docs.agg(F.max("doc_id")).first()[0]) + 1
+    nsh = 3
+    ss = -(-universe // nsh)
+    slices = materialize(
+        norm_slices(idx.docs.select("doc_id", "norm_len"), ss, chunk=512)
+    )
+    # chunking produced multiple rows per shard
+    n_rows = slices.count()
+    assert n_rows > nsh, n_rows
+    ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs))
+    got = _ranks(
+        wand_topk_sharded(
+            idx, bidx, codec, q, idx.num_docs, slices, num_shards=nsh,
+            universe=universe,
+        )
+    )
+    assert got == ref
