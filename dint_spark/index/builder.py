@@ -147,18 +147,26 @@ class IndexBuilder:
         postings = self.spark.read.parquet(self._table("postings"))
         fp_postings = self._load_lineage("postings")["input_fingerprint"] + ":postings"
         # index/verify stages are keyed by postings AND codec (+ a schema
-        # version token): re-running on an existing out_dir with a
-        # different codec must re-encode + re-verify, never silently load
-        # an index encoded with the old codec.
-        fp_index = f"{fp_postings}:{self.codec_name}:v2"
+        # version token, + the model-selection version for multi — a new
+        # dictionary model must re-encode the blocks too): re-running on
+        # an existing out_dir with a different codec must re-encode +
+        # re-verify, never silently load an index encoded with the old
+        # codec or the old model.
+        is_multi = self.codec_name == "multi_packed_dint"
+        fp_index = f"{fp_postings}:{self.codec_name}:v2" + (
+            ":rb1" if is_multi else ""
+        )
 
         # stage: model (DINT only); keyed by postings AND model family so
         # switching single↔multi on one out_dir relearns, never misloads.
         model = None
-        is_multi = self.codec_name == "multi_packed_dint"
         is_dint = is_multi or self.codec_name.startswith(("single_packed_dint", "dint"))
         if is_dint:
-            family = "multi" if is_multi else "single"
+            # multi carries a selection-algorithm version: rb1 = global
+            # entry-budget refill (_refill_banks) — an out_dir built
+            # before the refill relearns instead of silently resuming
+            # with the lower-compression model
+            family = "multi:rb1" if is_multi else "single"
             fp_model = f"{fp_postings}:{family}"
             learn = learn_multi_dint_model if is_multi else learn_dint_model
             cls = MultiDintModel if is_multi else DintModel
