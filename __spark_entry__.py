@@ -248,10 +248,25 @@ def q_st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         max_id = docs.agg(F.max("doc_id")).first()[0]
         bounds = [-1, max_id // 3, (2 * max_id) // 3, max_id]
-        for lo, hi in zip(bounds[:-1], bounds[1:]):  # ascending drops
+        # The file source orders micro-batches by file modification time;
+        # three fast sequential writes can land inside one mtime tick, so
+        # stamp each drop's part files with strictly increasing mtimes to
+        # make the ascending arrival order deterministic.
+        import glob as _glob
+
+        seen_parts: set = set()
+        base_mt = None
+        for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
             docs.filter(
                 (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
             ).coalesce(1).write.mode("append").parquet(landing)
+            parts = set(_glob.glob(os.path.join(landing, "*.parquet")))
+            new = parts - seen_parts
+            if base_mt is None:
+                base_mt = max(os.path.getmtime(p) for p in new)
+            for p in new:
+                os.utime(p, (base_mt + 2 * i, base_mt + 2 * i))
+            seen_parts = parts
         stream = stream_documents(spark, landing, max_files_per_trigger=1)
         run_streaming_dedup(stream, work)
         res = os.path.join(work, "dedup")

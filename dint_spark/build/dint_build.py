@@ -208,7 +208,10 @@ def _ranked_candidates(
             | (F.col("freq") * (48 * F.col("size") - 16) > F.lit(min_saving))
         )
     top = (
-        s.orderBy(F.desc("freq"), F.desc("size"))
+        # pattern bytes as a deterministic tie-break: (freq, size) ties
+        # are common and orderBy alone would make repeated fetches (or
+        # re-learns) disagree at the capacity cut
+        s.orderBy(F.desc("freq"), F.desc("size"), F.asc("pattern"))
         .limit(limit)
         .select("pattern", "freq", "size")
         .collect()
@@ -296,14 +299,20 @@ def _refill_banks(
     if not free or not sat:
         return [[p for p, _f in lst] for lst in per_sel]
     # rank saturated selectors by the saving their TAIL left on the
-    # table (the refill priority); tails fetched once per selector
+    # table (the refill priority); ONE 2·capacity fetch per saturated
+    # selector supplies BOTH its primary dictionary (head) and the
+    # refill tail — deriving them from separate fetches let the two
+    # rankings disagree at the capacity cut on (freq, size) ties, so
+    # tail picks could duplicate the primary's own patterns
     tails: dict[int, list] = {}
     tail_saving: list[tuple[int, int]] = []
+    out = [[p for p, _f in lst] for lst in per_sel]
     for s in sat:
         ranked = _ranked_candidates(
             stats, stream, 2 * capacity, n_postings, eps, selector=s
         )
         tails[s] = ranked
+        out[s] = [p for p, _f in ranked[:capacity]]
         sv = sum(
             f * (48 * len(p) - 16) for p, f in ranked[capacity:]
         )
@@ -311,7 +320,6 @@ def _refill_banks(
     tail_saving.sort(reverse=True)
     # biggest free bank serves the biggest leftover saving
     free.sort(reverse=True)
-    out = [[p for p, _f in lst] for lst in per_sel]
     for (bank_free, bank), (_sv, s) in zip(free, tail_saving):
         have = {p.tobytes() for p in out[bank]}
         ranked = tails[s]

@@ -154,7 +154,7 @@ class IndexBuilder:
         # codec or the old model.
         is_multi = self.codec_name == "multi_packed_dint"
         fp_index = f"{fp_postings}:{self.codec_name}:v2" + (
-            ":rb1" if is_multi else ""
+            ":rb2" if is_multi else ""
         )
 
         # stage: model (DINT only); keyed by postings AND model family so
@@ -163,10 +163,12 @@ class IndexBuilder:
         is_dint = is_multi or self.codec_name.startswith(("single_packed_dint", "dint"))
         if is_dint:
             # multi carries a selection-algorithm version: rb1 = global
-            # entry-budget refill (_refill_banks) — an out_dir built
-            # before the refill relearns instead of silently resuming
-            # with the lower-compression model
-            family = "multi:rb1" if is_multi else "single"
+            # entry-budget refill (_refill_banks); rb2 = deterministic
+            # (freq, size, pattern) tie-break with head+tail derived from
+            # one ranking fetch — an out_dir built under an older
+            # selection relearns instead of silently resuming with the
+            # stale model
+            family = "multi:rb2" if is_multi else "single"
             fp_model = f"{fp_postings}:{family}"
             learn = learn_multi_dint_model if is_multi else learn_dint_model
             cls = MultiDintModel if is_multi else DintModel

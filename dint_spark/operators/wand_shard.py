@@ -92,7 +92,6 @@ C_DECODE = 30e-6  # sec per block decode (DINT lockstep, amortized)
 # bench). This is the same decision a cost-based optimizer makes, from
 # runtime statistics, per query, per shard.
 
-MIN_GROUP_POSTINGS = 4096  # 16 blocks: below this, sharding is overhead
 MIN_SHARD_DOCS = 6144  # static layout: ~24 blocks of doc span per shard
 # (measured sweet spot on the 5.4M-posting corpus: smaller shards
 # multiply the per-(query,shard) kernel setup, larger ones under-tile)
@@ -350,7 +349,7 @@ def _kth_theta(heap: list, k: int, seed: float) -> float:
 
 
 def _use_daat(
-    enums: list[_ListEnum], theta: float, lo: int, hi: int, blocks: bool
+    enums: list[_ListEnum], theta: float, lo: int, hi: int
 ) -> bool:
     """Cost-based path choice (see the constants above).
 
@@ -506,7 +505,7 @@ def _wand_core(
     enums: list[_ListEnum], seed: float, norms, nbase: int, lo: int,
     hi: int, k: int, use_block_max: bool,
 ) -> list[tuple]:
-    if not _use_daat(enums, seed, lo, hi, blocks=use_block_max):
+    if not _use_daat(enums, seed, lo, hi):
         return _exhaustive_merge(
             enums, norms, nbase, lo, hi, k, seed, use_block_max
         )
@@ -600,7 +599,7 @@ def _maxscore_core(
     """Term-level MaxScore (queries.hpp:459-573): ascending-bound prefix
     is non-essential; DAAT over essential lists only; non-essential
     contributions added by next_geq probes with early termination."""
-    if not _use_daat(enums, seed, lo, hi, blocks=False):
+    if not _use_daat(enums, seed, lo, hi):
         # no block-max filter here: MaxScore is TERM-level pruning by
         # contract (queries.hpp:459-573 never consults block maxima)
         return _exhaustive_merge(enums, norms, nbase, lo, hi, k)

@@ -130,30 +130,41 @@ def streaming_exact_dedup(
     (hash → int64) entry per DISTINCT document text, partitioned by the
     state store across executors; the per-batch kernel is a vectorized
     pandas min. At 100 TB this is the standard streaming-dedup layout
-    (RocksDB-backed state store, key space sharded by hash).
+    (RocksDB-backed state store, key space sharded by hash). State has
+    NO TTL/eviction — the dedup contract is "against every document
+    ever seen", so state grows by one entry per distinct text for the
+    life of the stream; deployments with a finite dedup horizon should
+    bound it with a state timeout (timeoutConf + state.setTimeout...)
+    and accept re-admitting texts older than the horizon.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
     def dedup_fn(key, pdfs, state: GroupState):
+        # Drain ALL Arrow chunks of the group before emitting anything:
+        # a group's rows can span several chunks in ONE micro-batch and
+        # chunk order is not guaranteed, so the micro-batch minimum must
+        # be final before any row's canonical_doc_id is stamped (an
+        # incremental per-chunk minimum would stamp earlier chunks with
+        # a stale, larger canonical id when the true minimum arrives in
+        # a later chunk).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:  # timeout-only invocation (not used: NoTimeout)
+            return
         seen_min = state.get[0] if state.exists else None
-        outs = []
-        for pdf in pdfs:
-            ids = pdf["doc_id"]
-            batch_min = int(ids.min())
+        for pdf in chunks:
+            batch_min = int(pdf["doc_id"].min())
             if seen_min is None or batch_min < seen_min:
                 seen_min = batch_min
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": ids,
-                        "canonical_doc_id": seen_min,
-                        "is_dup": ids != seen_min,
-                    }
-                )
-            )
         state.update((int(seen_min),))
-        yield pd.concat(outs, ignore_index=True)
+        ids = pd.concat([pdf["doc_id"] for pdf in chunks], ignore_index=True)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "canonical_doc_id": seen_min,
+                "is_dup": ids != seen_min,
+            }
+        )
 
     keyed = docs_stream.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),
