@@ -168,22 +168,50 @@ def main() -> None:
             if best is None or r["qps"] > best["qps"]:
                 best = r
         lvl["query"] = best
-        for tag, nq in (("wand_small", wand_small), ("wand", wand_big)):
-            best = None
-            for _ in range(3):
-                r = run_job(
-                    "jobs/query_batch.py", cpus,
-                    ["--index", shared_idx, "--op", "wand",
-                     "--queries", str(nq), "--repeats", "1"],
-                )
-                if best is None or r["qps"] > best["qps"]:
-                    best = r
-            lvl[tag] = best
-        lvl["wand_marginal_qps"] = round(
-            (wand_big - wand_small)
-            / (lvl["wand"]["wall_sec"] - lvl["wand_small"]["wall_sec"]),
-            2,
+        # the two batch sizes run back-to-back as PAIRS (small_i, big_i)
+        # so each marginal difference comes from one run window — best-of
+        # picked from independent runs on this co-tenant-noisy host once
+        # produced T_big ≤ T_small and a negative marginal rate. A pair
+        # whose ΔT is under the noise floor is skipped; the published
+        # marginal is the median of the surviving per-pair rates (None +
+        # a flag if every pair drowned in noise).
+        pairs = []
+        best = {"wand_small": None, "wand": None}
+        for _ in range(3):
+            rs = run_job(
+                "jobs/query_batch.py", cpus,
+                ["--index", shared_idx, "--op", "wand",
+                 "--queries", str(wand_small), "--repeats", "1"],
+            )
+            rb = run_job(
+                "jobs/query_batch.py", cpus,
+                ["--index", shared_idx, "--op", "wand",
+                 "--queries", str(wand_big), "--repeats", "1"],
+            )
+            pairs.append((rs["wall_sec"], rb["wall_sec"]))
+            if best["wand_small"] is None or rs["qps"] > best["wand_small"]["qps"]:
+                best["wand_small"] = rs
+            if best["wand"] is None or rb["qps"] > best["wand"]["qps"]:
+                best["wand"] = rb
+        lvl["wand_small"], lvl["wand"] = best["wand_small"], best["wand"]
+        floor = max(0.5, 0.1 * min(ts for ts, _tb in pairs))  # sec
+        rates = sorted(
+            (wand_big - wand_small) / (tb - ts)
+            for ts, tb in pairs
+            if tb - ts > floor
         )
+        lvl["wand_marginal_pairs"] = [
+            {"small_sec": round(ts, 3), "big_sec": round(tb, 3)}
+            for ts, tb in pairs
+        ]
+        if rates:
+            lvl["wand_marginal_qps"] = round(rates[len(rates) // 2], 2)
+        else:
+            lvl["wand_marginal_qps"] = None
+            lvl["wand_marginal_noise_flag"] = (
+                f"every ΔT ≤ noise floor {round(floor, 2)}s — marginal "
+                "rate not publishable from this window"
+            )
         lvl["decode"] = run_decode(cpus, shared_idx)
         results[f"local{cpus}"] = lvl
 
@@ -196,9 +224,13 @@ def main() -> None:
         s = results[hi][work][key] / results[lo][work][key]
         results[f"{work}_speedup"] = round(s, 3)
         results[f"{work}_efficiency"] = round(s / 4.0, 3)
-    s = results[hi]["wand_marginal_qps"] / results[lo]["wand_marginal_qps"]
-    results["wand_kernel_speedup"] = round(s, 3)
-    results["wand_kernel_efficiency"] = round(s / 4.0, 3)
+    if results[hi]["wand_marginal_qps"] and results[lo]["wand_marginal_qps"]:
+        s = results[hi]["wand_marginal_qps"] / results[lo]["wand_marginal_qps"]
+        results["wand_kernel_speedup"] = round(s, 3)
+        results["wand_kernel_efficiency"] = round(s / 4.0, 3)
+    else:
+        results["wand_kernel_speedup"] = None
+        results["wand_kernel_efficiency"] = None
 
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(results, f, indent=2, sort_keys=True)

@@ -95,7 +95,16 @@ C_DECODE = 30e-6  # sec per block decode (DINT lockstep, amortized)
 MIN_SHARD_DOCS = 6144  # static layout: ~24 blocks of doc span per shard
 # (measured sweet spot on the 5.4M-posting corpus: smaller shards
 # multiply the per-(query,shard) kernel setup, larger ones under-tile)
-MAX_STATIC_SHARDS = 32  # keep per-(query,shard) python overhead bounded
+MAX_STATIC_SHARDS = 32  # small-corpus cap on MIN_SHARD_DOCS-driven growth
+TARGET_SHARD_SPAN = 1 << 18  # 262,144 docs (~1024 blocks): max doc span
+# per shard. The SPAN cap — not the shard COUNT — is what bounds the
+# kernel's working set (its dense norms array is np.zeros(hi−lo) and its
+# blocks slice covers the same range), so per-task memory stays O(span)
+# at any corpus size: ~2 MB of norms + the span's slice of the batch's
+# blocks. Beyond MAX_STATIC_SHARDS·TARGET_SHARD_SPAN ≈ 8.4M docs the
+# shard count grows with the corpus instead of the span growing — the
+# reference sizes all working state per-list/per-block
+# (dict_posting_list.hpp:17-19), never per-corpus-fraction.
 
 
 # ---------------------------------------------------------------------------
@@ -678,8 +687,19 @@ def static_layout(universe: int) -> tuple[int, int]:
     work tiles into task waves and scales with the cluster — deriving
     shards from defaultParallelism (the first implementation) made the
     layout shrink with the cluster and capped the kernel's parallel
-    speedup at 1× by construction."""
-    nsh = max(1, min(MAX_STATIC_SHARDS, universe // MIN_SHARD_DOCS or 1))
+    speedup at 1× by construction.
+
+    Scale-elastic: shard count grows from MIN_SHARD_DOCS (small corpora,
+    capped at MAX_STATIC_SHARDS so toy universes don't over-tile) and
+    then from the TARGET_SHARD_SPAN cap (large corpora) — the per-shard
+    SPAN never exceeds TARGET_SHARD_SPAN, so per-kernel memory is O(1)
+    in the corpus size; only the number of parallel kernel tasks grows
+    (10^8 docs → 382 shards, 10^12 → ~3.8M, each a bounded task)."""
+    nsh = max(
+        1,
+        min(MAX_STATIC_SHARDS, universe // MIN_SHARD_DOCS or 1),
+        -(-universe // TARGET_SHARD_SPAN),
+    )
     return nsh, -(-universe // nsh)
 
 
@@ -798,6 +818,65 @@ def _exact_seed_df(idx, bidx, codec, qt: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _block_prefilter_cuts(qt_full: DataFrame, k: int, seed_df) -> DataFrame:
+    """(term_id, bmw_cut) — the PLAN-side form of the kernel's lossless
+    block-max skip (wand.py step-3 semantics, ref
+    dict_posting_list.hpp:126-147 "decode only what can matter").
+
+    A block b of term t is useless to query q when
+    qw·block_max_weight(b) + Σ_{j≠t} ub_j < θ_seed(q): every doc in b
+    then totals < θ_eff even with full credit from the other lists, so
+    it cannot enter q's top-k, and a doc resurfacing via another list
+    carries a partial score < θ_eff that rounds strictly below every
+    true top-k doc (the 2e-9 margin > the 1e-9 rounding quantum — the
+    established lossless contract). Rearranged per term:
+    keep b iff bmw(b) ≥ (θ_q − (Σub_q − ub_qt)) / qw_qt for SOME query
+    q containing t — i.e. bmw ≥ min over those queries (bmw_cut).
+
+    ub here is the GLOBAL qw·max_weight (term_meta), ≥ every shard-local
+    bound, so the cut is conservative relative to the kernel's own
+    in-shard filter (which still runs on what survives). θ_seed matches
+    the kernel's seeds exactly: qw·w10 (k ≤ TOPK_BOUND_K — NaN w10
+    excluded; Spark's max treats NaN as largest, hence the isnan guard)
+    or the exact bounded-kth seed frame (k > 10; queries without a seed
+    row keep every block). Dropping a block that fails the cut for
+    EVERY query containing its term is lossless for the whole batch —
+    and it is dropped BEFORE the cogroup shuffle, cutting both shuffle
+    bytes and the handed-block denominator."""
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("query_id")
+    qm = qt_full.select("query_id", "term_id", "qw", "w10", "max_weight")
+    qm = qm.withColumn("_ub", F.col("qw") * F.col("max_weight"))
+    qm = qm.withColumn("_sum_ub", F.sum("_ub").over(wq))
+    if k > TOPK_BOUND_K:
+        if seed_df is None:
+            return None
+        qm = qm.join(seed_df, "query_id", "left").withColumn(
+            "_seed", F.coalesce(F.col("seed"), F.lit(0.0))
+        )
+    else:
+        qm = qm.withColumn(
+            "_seed",
+            F.greatest(
+                F.coalesce(
+                    F.max(
+                        F.when(~F.isnan("w10"), F.col("qw") * F.col("w10"))
+                    ).over(wq)
+                    - F.lit(THETA_MARGIN),
+                    F.lit(0.0),
+                ),
+                F.lit(0.0),
+            ),
+        )
+    # 1e-12 absorbs the division round-trip (scores are O(1-10); the
+    # FP error ~1e-15 sits far under the 2e-9 margin's slack)
+    cut = (
+        F.col("_seed") - (F.col("_sum_ub") - F.col("_ub"))
+    ) / F.col("qw") - F.lit(1e-12)
+    return qm.groupBy("term_id").agg(F.min(cut).alias("bmw_cut"))
+
+
 def _shard_col(shard_size) -> F.Column:
     return F.explode(
         F.sequence(
@@ -820,6 +899,7 @@ def wand_topk_sharded(
     use_block_max: bool = True,
     num_shards: "int | None" = None,
     universe: "int | None" = None,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Block-max WAND over the compressed index, doc-sharded DAAT.
 
@@ -827,9 +907,14 @@ def wand_topk_sharded(
     (fully distributed); a (doc_id, norm_len) DataFrame; a precomputed
     norm_slices() frame (engine.get_norm_slices — the serving path); or
     a legacy Broadcast[np.ndarray] (resident-array mode, single-node
-    parity with wand_data.hpp:55-58)."""
+    parity with wand_data.hpp:55-58).
+
+    prefilter: apply the lossless plan-side block-max cut
+    (_block_prefilter_cuts) before the cogroup shuffle (default; False
+    is for A/B evidence in BENCH/wand_pruning.py)."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
-                "wand" if use_block_max else "maxscore_bm_off", universe)
+                "wand" if use_block_max else "maxscore_bm_off", universe,
+                prefilter=prefilter)
 
 
 def maxscore_topk_sharded(
@@ -851,7 +936,7 @@ def maxscore_topk_sharded(
 
 def wand_sharded_decode_stats(
     idx, bidx, codec, queries, num_docs, norms=None, k=10, num_shards=None,
-    algo="wand", universe=None,
+    algo="wand", universe=None, prefilter=True,
 ) -> DataFrame:
     """(query_id, shard, blocks_total, blocks_docs_decoded,
     blocks_freqs_decoded) — the pruning evidence surface (reference
@@ -861,7 +946,7 @@ def wand_sharded_decode_stats(
     between queries (each query pays its own decodes, as the reference's
     per-query profiler does)."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
-                algo, universe, emit="stats")
+                algo, universe, emit="stats", prefilter=prefilter)
 
 
 def _resolve_norms(idx, norms, universe):
@@ -887,7 +972,7 @@ def _resolve_norms(idx, norms, universe):
 
 
 def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
-         universe=None, emit="topk"):
+         universe=None, emit="topk", prefilter=True):
     spark = queries.sparkSession
     norms_bc, slices_pre, ndf, universe = _resolve_norms(idx, norms, universe)
     # the docID universe (max assigned id + 1) can exceed num_docs when
@@ -900,14 +985,31 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
         nsh, ss = static_layout(universe)
     qt_full = _qt_meta(idx, queries, num_docs)
     qt = qt_full.select("query_id", "term_id", "qw", "w10")
-    # index slice ships ONCE: blocks of the batch's terms, deduped
-    blocks_sh = (
-        bidx.join(
-            F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
-        )
-        .withColumn("_shard", _shard_col(ss))
-        .select(*_LEFT_COLS)
+    seed_df = (
+        _exact_seed_df(idx, bidx, codec, qt_full, k) if k > TOPK_BOUND_K else None
     )
+    # index slice ships ONCE: blocks of the batch's terms, deduped
+    blocks_q = bidx.join(
+        F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
+    )
+    if prefilter and algo == "wand":
+        # plan-side block-max prefilter (lossless — see
+        # _block_prefilter_cuts): blocks no query of the batch can use
+        # are dropped BEFORE the shard explode and the cogroup shuffle.
+        # WAND only — MaxScore is term-level pruning by contract.
+        cuts = _block_prefilter_cuts(qt_full, k, seed_df)
+        if cuts is not None:
+            blocks_q = (
+                blocks_q.join(F.broadcast(cuts), "term_id", "left")
+                .filter(
+                    F.col("bmw_cut").isNull()
+                    | F.col("block_max_weight").isNull()
+                    | F.isnan("block_max_weight")
+                    | (F.col("block_max_weight") >= F.col("bmw_cut"))
+                )
+                .drop("bmw_cut")
+            )
+    blocks_sh = blocks_q.withColumn("_shard", _shard_col(ss)).select(*_LEFT_COLS)
     if norms_bc is None:
         slices = slices_pre if slices_pre is not None else norm_slices(ndf, ss)
         left = blocks_sh.unionByName(slices)
@@ -920,11 +1022,7 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
         # w10 only bounds the 10th-best; for larger k ship an EXACT
         # per-query kth-partial seed (tiny |queries|-row frame) so
         # pruning still engages instead of seeding 0
-        qx = qx.join(
-            F.broadcast(_exact_seed_df(idx, bidx, codec, qt_full, k)),
-            "query_id",
-            "left",
-        )
+        qx = qx.join(F.broadcast(seed_df), "query_id", "left")
     else:
         qx = qx.withColumn("seed", F.lit(None).cast("double"))
     codec_bc = spark.sparkContext.broadcast(codec)

@@ -278,6 +278,123 @@ def test_sharded_norms_sparse_universe(spark):
     assert got == ref
 
 
+def test_static_layout_span_bounded():
+    """Scale-elastic layout: the shard SPAN (per-kernel working set) is
+    capped at TARGET_SHARD_SPAN at every corpus size — shard COUNT grows
+    with the universe instead (the reference bounds working state
+    per-list/per-block, dict_posting_list.hpp:17-19, never
+    per-corpus-fraction). Small-corpus behavior is unchanged."""
+    from dint_spark.operators.wand_shard import (
+        MAX_STATIC_SHARDS,
+        MIN_SHARD_DOCS,
+        TARGET_SHARD_SPAN,
+        static_layout,
+    )
+
+    # span cap holds from 10^8 through 10^12 (the design point)
+    for universe in (10**8, 10**9 + 7, 10**10, 10**12):
+        nsh, ss = static_layout(universe)
+        assert ss <= TARGET_SHARD_SPAN, (universe, nsh, ss)
+        assert nsh * ss >= universe  # shards tile the whole universe
+        assert (nsh - 1) * ss < universe  # no all-empty trailing shard
+    assert static_layout(10**8)[0] == -(-10**8 // TARGET_SHARD_SPAN)
+    # small corpora: the MIN_SHARD_DOCS/MAX_STATIC_SHARDS regime
+    assert static_layout(5_000) == (1, 5_000)
+    nsh, ss = static_layout(50_000)
+    assert nsh == 50_000 // MIN_SHARD_DOCS and ss == -(-50_000 // nsh)
+    nsh, _ = static_layout(1_000_000)
+    assert nsh == MAX_STATIC_SHARDS  # span 31,250 ≤ cap: count stays put
+
+
+def test_wand_elastic_layout_end_to_end(spark):
+    """Default layout above the MAX_STATIC_SHARDS regime (sparse docIDs
+    spread over a ~2·10^7 universe → ~77 span-capped shards): rank
+    identity and norm-slice reassembly hold with no per-shard state
+    larger than TARGET_SHARD_SPAN."""
+    from dint_spark.build.blocks import build_block_index
+    from dint_spark.build.postings import build_fulltext_index
+    from dint_spark.codecs.registry import get_codec
+    from dint_spark.operators.ranked import ranked_or
+    from dint_spark.operators.wand_shard import (
+        MAX_STATIC_SHARDS,
+        static_layout,
+        wand_topk_sharded,
+    )
+    from dint_spark.util import materialize
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for term, df in (("rare", 12), ("mid", 70), ("dense", 250)):
+        for d in rng.choice(400, size=df, replace=False):
+            rows += [(int(d) * 50_021 + 5, term)] * int(1 + d % 3)
+    tokens = spark.createDataFrame(rows, schema="doc_id long, term string")
+    idx = build_fulltext_index(tokens, with_norm_len=True, cache=True)
+    universe = int(idx.docs.agg(F.max("doc_id")).first()[0]) + 1
+    nsh, _ss = static_layout(universe)
+    assert nsh > MAX_STATIC_SHARDS, (universe, nsh)
+    codec = get_codec("block_vbyte")
+    bidx = materialize(build_block_index(idx.postings, codec))
+    q = spark.createDataFrame(
+        [(0, ["rare", "dense"]), (1, ["mid"]), (2, ["rare", "mid", "dense"])],
+        schema="query_id long, terms array<string>",
+    )
+    ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs))
+    got = _ranks(wand_topk_sharded(idx, bidx, codec, q, idx.num_docs, None))
+    assert got == ref
+
+
+def test_block_prefilter_drops_blocks_losslessly(spark, zipf_setup):
+    """The plan-side block-max cut (ask: wand.py step-3 semantics BEFORE
+    the cogroup shuffle) must (a) hand strictly fewer blocks to the
+    kernel on a corpus with idf spread, and (b) stay rank-identical to
+    the unfiltered plan and the ranked_or oracle."""
+    from dint_spark.operators.ranked import ranked_or
+    from dint_spark.operators.wand_shard import (
+        wand_sharded_decode_stats,
+        wand_topk_sharded,
+    )
+
+    idx, bidx, codec, norms = zipf_setup
+    q = _zipf_queries(spark)
+
+    def handed(prefilter):
+        return (
+            wand_sharded_decode_stats(
+                idx, bidx, codec, q, idx.num_docs, norms, prefilter=prefilter
+            )
+            .agg(F.sum("blocks_total"))
+            .first()[0]
+        )
+
+    h_off, h_on = handed(False), handed(True)
+    assert h_on < h_off, (h_on, h_off)  # the cut actually drops blocks
+
+    ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs))
+    assert _ranks(
+        wand_topk_sharded(idx, bidx, codec, q, idx.num_docs, norms)
+    ) == ref
+    assert _ranks(
+        wand_topk_sharded(
+            idx, bidx, codec, q, idx.num_docs, norms, prefilter=False
+        )
+    ) == ref
+
+
+def test_block_prefilter_k25_exact_seed(spark, zipf_setup):
+    """k > TOPK_BOUND_K: the prefilter must use the exact bounded-kth
+    seed frame (w10 invalid there) and stay rank-identical at k=25."""
+    from dint_spark.operators.ranked import ranked_or
+    from dint_spark.operators.wand_shard import wand_topk_sharded
+
+    idx, bidx, codec, norms = zipf_setup
+    q = _zipf_queries(spark)
+    ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs, k=25))
+    got = _ranks(
+        wand_topk_sharded(idx, bidx, codec, q, idx.num_docs, norms, k=25)
+    )
+    assert got == ref
+
+
 def test_norm_slices_chunked_rows(spark, zipf_setup):
     """Multiple packed slice rows per shard (chunk < shard population)
     reassemble into the same result as single-row slices."""
