@@ -93,6 +93,7 @@ def main() -> None:
     from dint_spark.operators.ranked import ranked_or
     from dint_spark.operators.wand_shard import (
         maxscore_topk_sharded,
+        shipped_block_stats,
         wand_sharded_decode_stats,
         wand_topk_sharded,
     )
@@ -112,29 +113,105 @@ def main() -> None:
     q = spark.createDataFrame(QUERIES, schema="query_id long, terms array<string>")
     N = idx.num_docs
 
-    per_q = (
-        wand_sharded_decode_stats(idx, bidx, codec, q, N, norms)
-        .groupBy("query_id")
-        .agg(
-            F.sum("blocks_total").alias("t"),
-            F.sum("blocks_docs_decoded").alias("d"),
-            F.sum("blocks_freqs_decoded").alias("f"),
+    def decode_counts(prefilter: bool) -> dict:
+        rows = (
+            wand_sharded_decode_stats(
+                idx, bidx, codec, q, N, norms, prefilter=prefilter
+            )
+            .groupBy("query_id")
+            .agg(
+                F.sum("blocks_total").alias("t"),
+                F.sum("blocks_docs_decoded").alias("d"),
+                F.sum("blocks_freqs_decoded").alias("f"),
+            )
+            .collect()
         )
-        .collect()
-    )
+        return {int(r["query_id"]): (int(r["t"]), int(r["d"]), int(r["f"]))
+                for r in rows}
+
+    # A/B around the plan-side block-max prefilter: OFF = every block of
+    # the batch's terms is handed to the kernel (the r3/r4 denominator),
+    # ON = the serving default. Raw counts throughout — fractions are
+    # derived at the end, never re-inverted from rounded ratios.
+    pq_off = decode_counts(prefilter=False)
+    pq_on = decode_counts(prefilter=True)
     st = {
-        "t": sum(r["t"] for r in per_q),
-        "d": sum(r["d"] for r in per_q),
-        "f": sum(r["f"] for r in per_q),
+        "t": sum(t for t, _d, _f in pq_on.values()),
+        "d": sum(d for _t, d, _f in pq_on.values()),
+        "f": sum(f for _t, _d, f in pq_on.values()),
     }
+    handed_off = sum(t for t, _d, _f in pq_off.values())
     per_query = {
-        int(r["query_id"]): {
-            "blocks": int(r["t"]),
-            "docs_frac": round(r["d"] / r["t"], 3),
-            "freqs_frac": round(r["f"] / r["t"], 3),
+        qid: {
+            "blocks_off": pq_off[qid][0],
+            "blocks": t,
+            "docs_decoded": d,
+            "freqs_decoded": f,
+            "docs_frac": round(d / t, 3) if t else 0.0,
+            # the work-avoided view: decodes over the UNfiltered handed
+            # count (what the kernel faced before the plan-side cut)
+            "docs_frac_of_unfiltered": round(d / pq_off[qid][0], 3)
+            if pq_off[qid][0] else 0.0,
         }
-        for r in sorted(per_q, key=lambda r: r["query_id"])
+        for qid, (t, d, f) in sorted(pq_on.items())
     }
+    ship_off = shipped_block_stats(idx, bidx, codec, q, N, norms,
+                                   prefilter=False)
+    ship_on = shipped_block_stats(idx, bidx, codec, q, N, norms,
+                                  prefilter=True)
+
+    FLAT_IDS = [2]
+    # --- algorithmic floor estimate for the DAAT queries ---------------
+    # A DAAT traversal anchored on its rarest list must decode, at
+    # minimum, every (block, shard) cell that contains one of the
+    # anchor's docs: each anchor doc is a candidate whose true partial
+    # scores require the other lists' landing blocks, decoded by the
+    # doc's shard's task. With d anchor docs falling uniformly over a
+    # list's C cells, the expected number of distinct cells hit is
+    # C·(1−(1−1/C)^d) (balls-in-bins). Summed over the query's lists,
+    # this estimates the floor of what ANY block-max DAAT — the
+    # reference's included — decodes under this sharding, up to θ-skips
+    # of whole candidates (which is why per-query actuals CAN dip under
+    # it: q4/q6-style rare∧dense pairs skip candidates wholesale).
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in idx.vocab.select("term", "df").collect()
+    }
+    # cell counts at the SAME granularity the kernel counts decodes:
+    # (block, shard) pairs — a block straddling s shards is s cells,
+    # each decoded independently by its shard's task
+    from dint_spark.operators.wand_shard import static_layout
+
+    universe = int(idx.docs.agg(F.max("doc_id")).first()[0]) + 1
+    _nsh, ss = static_layout(universe)
+    blk_map = {
+        r["term"]: int(r["nc"])
+        for r in bidx.join(idx.vocab.select("term", "term_id"), "term_id")
+        .withColumn(
+            "_cells",
+            F.floor(F.col("block_max") / ss)
+            - F.greatest(
+                F.floor((F.col("block_base") + F.lit(1)) / ss), F.lit(0)
+            )
+            + F.lit(1),
+        )
+        .groupBy("term")
+        .agg(F.sum("_cells").alias("nc"))
+        .collect()
+    }
+    floor_est = {}
+    for qid, terms in QUERIES:
+        uniq = sorted(set(terms), key=lambda t: df_map.get(t, 0))
+        if not uniq or qid in FLAT_IDS:
+            continue
+        anchor_df = df_map.get(uniq[0], 0)
+        est = 0.0
+        for t in uniq:
+            b = blk_map.get(t, 0)
+            if b == 0:
+                continue
+            est += b * (1.0 - (1.0 - 1.0 / b) ** anchor_df)
+        floor_est[qid] = round(est, 1)
     # selective subset: queries anchored by a rare term whose θ seed can
     # actually prune (the WAND case); the flat dense queries deliberately
     # exercise the exhaustive fallback instead
@@ -162,32 +239,45 @@ def main() -> None:
     # pruning algorithm (the reference's included) can skip a block.
     # Its blocks are an inherent floor of the mixed-batch fraction, not
     # a pruning deficiency; report the batch both ways.
-    FLAT = [2]
-    flat_t = sum(per_query[q]["blocks"] for q in FLAT)
-    flat_d = sum(
-        round(per_query[q]["docs_frac"] * per_query[q]["blocks"]) for q in FLAT
-    )
-    flat_f = sum(
-        round(per_query[q]["freqs_frac"] * per_query[q]["blocks"]) for q in FLAT
-    )
-    sel_t = sum(per_query[q]["blocks"] for q in SELECTIVE)
-    sel_d = sum(
-        round(per_query[q]["docs_frac"] * per_query[q]["blocks"])
-        for q in SELECTIVE
-    )
-    sel_f = sum(
-        round(per_query[q]["freqs_frac"] * per_query[q]["blocks"])
-        for q in SELECTIVE
-    )
+    FLAT = FLAT_IDS
+    flat_t = sum(pq_on[q][0] for q in FLAT)
+    flat_d = sum(pq_on[q][1] for q in FLAT)
+    flat_f = sum(pq_on[q][2] for q in FLAT)
+    flat_t_off = sum(pq_off[q][0] for q in FLAT)
+    sel_t = sum(pq_on[q][0] for q in SELECTIVE)
+    sel_d = sum(pq_on[q][1] for q in SELECTIVE)
+    sel_f = sum(pq_on[q][2] for q in SELECTIVE)
+    sel_t_off = sum(pq_off[q][0] for q in SELECTIVE)
     out = {
         "docs": args.docs,
         "n_postings": int(idx.postings.count()),
         "n_queries": len(QUERIES),
+        # denominators: "handed" counts what reaches the kernel with the
+        # plan-side prefilter ON (the serving default, round 5+);
+        # "_unfiltered" is every block of the batch's terms (the r3/r4
+        # denominator — what the kernel faced before the plan-side cut,
+        # and the honest work-avoided base)
         "blocks_handed_to_kernel": int(st["t"]),
+        "blocks_handed_unfiltered": int(handed_off),
+        "blocks_dropped_by_plan_prefilter": int(handed_off - st["t"]),
         "blocks_docs_decoded": int(st["d"]),
         "blocks_freqs_decoded": int(st["f"]),
         "decoded_docs_fraction": round(st["d"] / st["t"], 3),
         "decoded_freqs_fraction": round(st["f"] / st["t"], 3),
+        "decoded_docs_fraction_of_unfiltered": round(
+            st["d"] / handed_off, 3
+        ),
+        "decoded_freqs_fraction_of_unfiltered": round(
+            st["f"] / handed_off, 3
+        ),
+        "shuffle_prefilter_off": ship_off,
+        "shuffle_prefilter_on": ship_on,
+        "shuffled_bytes_reduction": round(
+            1.0
+            - ship_on["shuffled_payload_bytes"]
+            / ship_off["shuffled_payload_bytes"],
+            3,
+        ),
         "floor_analysis": {
             "flat_queries": FLAT,
             "flat_blocks_fraction_of_handed": round(flat_t / st["t"], 3),
@@ -197,8 +287,22 @@ def main() -> None:
             "freqs_fraction_excl_flat": round(
                 (st["f"] - flat_f) / (st["t"] - flat_t), 3
             ),
-            "selective_docs_fraction": round(sel_d / sel_t, 3),
-            "selective_freqs_fraction": round(sel_f / sel_t, 3),
+            "docs_fraction_excl_flat_of_unfiltered": round(
+                (st["d"] - flat_d) / (handed_off - flat_t_off), 3
+            ),
+            "selective_docs_fraction": round(sel_d / sel_t, 3)
+            if sel_t else 0.0,
+            "selective_freqs_fraction": round(sel_f / sel_t, 3)
+            if sel_t else 0.0,
+            "selective_docs_fraction_of_unfiltered": round(
+                sel_d / sel_t_off, 3
+            ),
+            # expected distinct (block, shard) cells ANY block-max DAAT
+            # must decode per non-flat query (balls-in-bins over the
+            # anchor's docs; same granularity as the decode counts)
+            "daat_floor_estimate_cells": floor_est,
+            "daat_floor_total": round(sum(floor_est.values()), 1),
+            "non_flat_docs_decoded": int(st["d"] - flat_d),
         },
         "per_query": per_query,
         "selective_queries": SELECTIVE,

@@ -96,6 +96,12 @@ MIN_SHARD_DOCS = 6144  # static layout: ~24 blocks of doc span per shard
 # (measured sweet spot on the 5.4M-posting corpus: smaller shards
 # multiply the per-(query,shard) kernel setup, larger ones under-tile)
 MAX_STATIC_SHARDS = 32  # small-corpus cap on MIN_SHARD_DOCS-driven growth
+PREFILTER_MIN_BATCH = 64  # auto-enable the plan-side block-max prefilter
+# at this batch size: its cuts subplan costs ~3 extra tiny-shuffle
+# stages (~1s measured at local[32]) REGARDLESS of batch or corpus, so
+# it belongs with the other fixed batch-amortized stages — free at the
+# 500-2,000-query batches of the 100 TB regime, pure overhead for a
+# handful of interactive queries
 TARGET_SHARD_SPAN = 1 << 18  # 262,144 docs (~1024 blocks): max doc span
 # per shard. The SPAN cap — not the shard COUNT — is what bounds the
 # kernel's working set (its dense norms array is np.zeros(hi−lo) and its
@@ -818,63 +824,172 @@ def _exact_seed_df(idx, bidx, codec, qt: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _block_prefilter_cuts(qt_full: DataFrame, k: int, seed_df) -> DataFrame:
-    """(term_id, bmw_cut) — the PLAN-side form of the kernel's lossless
-    block-max skip (wand.py step-3 semantics, ref
-    dict_posting_list.hpp:126-147 "decode only what can matter").
+def _block_prefilter_cuts(
+    qt_full: DataFrame, k: int, seed_df, blocks_sh: DataFrame
+) -> DataFrame:
+    """(term_id, _shard, bmw_cut) — the PLAN-side, shard-local form of
+    the kernel's lossless block-max skip (_exhaustive_merge skip_bound;
+    wand.py step-3 semantics; ref dict_posting_list.hpp:126-147 "decode
+    only what can matter").
 
-    A block b of term t is useless to query q when
-    qw·block_max_weight(b) + Σ_{j≠t} ub_j < θ_seed(q): every doc in b
-    then totals < θ_eff even with full credit from the other lists, so
-    it cannot enter q's top-k, and a doc resurfacing via another list
-    carries a partial score < θ_eff that rounds strictly below every
-    true top-k doc (the 2e-9 margin > the 1e-9 rounding quantum — the
-    established lossless contract). Rearranged per term:
-    keep b iff bmw(b) ≥ (θ_q − (Σub_q − ub_qt)) / qw_qt for SOME query
-    q containing t — i.e. bmw ≥ min over those queries (bmw_cut).
+    A block b of term t in shard s is useless to query q when
+    qw·block_max_weight(b) + Σ_{j≠t} ub_j(s) < θ_seed(q): every doc of
+    b inside s then totals < θ_eff even with full credit from the other
+    lists, so it cannot enter q's top-k, and a doc resurfacing via
+    another list carries a partial score < θ_eff that rounds strictly
+    below every true top-k doc (the 2e-9 margin > the 1e-9 rounding
+    quantum — the established lossless contract). Rearranged per
+    (term, shard): keep b iff bmw(b) ≥ min over queries q containing t
+    of (θ_q − (Σub_q(s) − ub_qt(s))) / qw_qt  (bmw_cut).
 
-    ub here is the GLOBAL qw·max_weight (term_meta), ≥ every shard-local
-    bound, so the cut is conservative relative to the kernel's own
-    in-shard filter (which still runs on what survives). θ_seed matches
-    the kernel's seeds exactly: qw·w10 (k ≤ TOPK_BOUND_K — NaN w10
-    excluded; Spark's max treats NaN as largest, hence the isnan guard)
-    or the exact bounded-kth seed frame (k > 10; queries without a seed
-    row keep every block). Dropping a block that fails the cut for
-    EVERY query containing its term is lossless for the whole batch —
-    and it is dropped BEFORE the cogroup shuffle, cutting both shuffle
-    bytes and the handed-block denominator."""
+    ub_j(s) is the SHARD-LOCAL qw·max(bmw of j's blocks overlapping s)
+    — exactly the kernel's e.ub — which is what makes the cut fire on
+    real corpora: the earlier global-max_weight formulation only pruned
+    when θ beat the sum of whole-collection maxima, i.e. almost never
+    for multi-term queries. A (term, shard) whose local max is NULL/NaN
+    falls back to the global max_weight (conservative). Dropping a
+    (block, shard) pair that fails the cut for EVERY query containing
+    its term is lossless for the whole batch, and the drop happens
+    BEFORE the cogroup shuffle, cutting both shuffle bytes and the
+    handed-block denominator. The kernel's own filter still runs on the
+    survivors with its evolving θ; its post-filter shard ubs can only
+    shrink, which stays valid — every doc a shrunken ub bounds either
+    sits in a surviving block (bounded by the surviving max) or in a
+    dropped one (already provably below θ).
+
+    θ_seed matches the kernel's seeds exactly: max(0, max qw·w10 − m)
+    over the query's non-NaN w10 terms (k ≤ TOPK_BOUND_K —
+    _seed_from_rows), or the exact bounded-kth seed frame (k > 10;
+    queries without a seed row get θ=0, which never drops: their cut is
+    ≤ −other/qw < every bmw ≥ 0)."""
     from pyspark.sql import Window as W
 
-    wq = W.partitionBy("query_id")
-    qm = qt_full.select("query_id", "term_id", "qw", "w10", "max_weight")
-    qm = qm.withColumn("_ub", F.col("qw") * F.col("max_weight"))
-    qm = qm.withColumn("_sum_ub", F.sum("_ub").over(wq))
     if k > TOPK_BOUND_K:
         if seed_df is None:
             return None
-        qm = qm.join(seed_df, "query_id", "left").withColumn(
-            "_seed", F.coalesce(F.col("seed"), F.lit(0.0))
-        )
+        theta = seed_df
     else:
-        qm = qm.withColumn(
-            "_seed",
+        theta = qt_full.groupBy("query_id").agg(
             F.greatest(
                 F.coalesce(
                     F.max(
                         F.when(~F.isnan("w10"), F.col("qw") * F.col("w10"))
-                    ).over(wq)
+                    )
                     - F.lit(THETA_MARGIN),
                     F.lit(0.0),
                 ),
                 F.lit(0.0),
-            ),
+            ).alias("seed")
         )
+    # metadata-only projection BEFORE the agg: the cuts subplan must
+    # never touch the payload bytes (explicit, not left to pruning
+    # through the cached bidx)
+    local = (
+        blocks_sh.select("term_id", "_shard", "block_max_weight")
+        .groupBy("term_id", "_shard")
+        .agg(
+            F.max("block_max_weight").alias("_mx"),
+            F.max(
+                F.col("block_max_weight").isNull().cast("int")
+            ).alias("_anynull"),
+        )
+    )
+    qts = (
+        qt_full.select("query_id", "term_id", "qw", "max_weight")
+        .join(local, "term_id")
+        .withColumn(
+            "_ub",
+            F.col("qw")
+            * F.when(
+                (F.col("_anynull") == 1) | F.isnan("_mx"), F.col("max_weight")
+            ).otherwise(F.col("_mx")),
+        )
+        .join(F.broadcast(theta), "query_id", "left")
+    )
+    wqs = W.partitionBy("query_id", "_shard")
+    qts = qts.withColumn("_sum_ub", F.sum("_ub").over(wqs))
     # 1e-12 absorbs the division round-trip (scores are O(1-10); the
     # FP error ~1e-15 sits far under the 2e-9 margin's slack)
     cut = (
-        F.col("_seed") - (F.col("_sum_ub") - F.col("_ub"))
+        F.coalesce(F.col("seed"), F.lit(0.0))
+        - (F.col("_sum_ub") - F.col("_ub"))
     ) / F.col("qw") - F.lit(1e-12)
-    return qm.groupBy("term_id").agg(F.min(cut).alias("bmw_cut"))
+    return qts.groupBy("term_id", "_shard").agg(F.min(cut).alias("bmw_cut"))
+
+
+def _batch_blocks_sharded(
+    bidx, qt_full, qt, seed_df, k, algo, prefilter, ss
+) -> DataFrame:
+    """The index slice the cogroup shuffle ships for a query batch:
+    blocks of the batch's terms (deduped, shipped ONCE), optionally
+    plan-side block-max prefiltered, shard-exploded. Shared by _run and
+    shipped_block_stats so the evidence surface measures EXACTLY the
+    serving plan."""
+    blocks_q = bidx.join(
+        F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
+    )
+    blocks_sh = blocks_q.withColumn("_shard", _shard_col(ss)).select(*_LEFT_COLS)
+    if prefilter and algo == "wand":
+        # plan-side block-max prefilter (lossless — see
+        # _block_prefilter_cuts): (block, shard) pairs no query of the
+        # batch can use are dropped BEFORE the cogroup shuffle. WAND
+        # only — MaxScore is term-level pruning by contract. The cuts
+        # frame is ≤ |batch terms|·|shards| rows → broadcast.
+        cuts = _block_prefilter_cuts(qt_full, k, seed_df, blocks_sh)
+        if cuts is not None:
+            blocks_sh = (
+                blocks_sh.join(
+                    F.broadcast(cuts), ["term_id", "_shard"], "left"
+                )
+                .filter(
+                    F.col("bmw_cut").isNull()
+                    | F.isnan("bmw_cut")
+                    | F.col("block_max_weight").isNull()
+                    | F.isnan("block_max_weight")
+                    | (F.col("block_max_weight") >= F.col("bmw_cut"))
+                )
+                .select(*_LEFT_COLS)
+            )
+    return blocks_sh
+
+
+def shipped_block_stats(
+    idx, bidx, codec, queries, num_docs, norms=None, k=10,
+    prefilter=True, num_shards=None, universe=None,
+) -> dict:
+    """Rows and payload bytes the cogroup shuffle would ship for this
+    batch — the shuffled-bytes evidence surface for the plan-side
+    prefilter (BENCH/wand_pruning.py records the prefilter on/off
+    delta). Builds the SAME blocks frame as the serving plan
+    (_batch_blocks_sharded) and aggregates it without running the
+    kernel; norm-slice rows (prefilter-independent) are excluded."""
+    _nb, _sp, _ndf, universe = _resolve_norms(idx, norms, universe)
+    if num_shards is not None:
+        nsh = int(num_shards)
+        ss = -(-universe // max(1, nsh))
+    else:
+        nsh, ss = static_layout(universe)
+    qt_full = _qt_meta(idx, queries, num_docs)
+    qt = qt_full.select("query_id", "term_id", "qw", "w10")
+    seed_df = (
+        _exact_seed_df(idx, bidx, codec, qt_full, k) if k > TOPK_BOUND_K else None
+    )
+    r = (
+        _batch_blocks_sharded(bidx, qt_full, qt, seed_df, k, "wand",
+                              prefilter, ss)
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(
+                F.octet_length("docs_bytes") + F.octet_length("freqs_bytes")
+            ).alias("payload_bytes"),
+        )
+        .first()
+    )
+    return {
+        "shuffled_block_rows": int(r["rows"]),
+        "shuffled_payload_bytes": int(r["payload_bytes"] or 0),
+        "num_shards": nsh,
+    }
 
 
 def _shard_col(shard_size) -> F.Column:
@@ -899,7 +1014,7 @@ def wand_topk_sharded(
     use_block_max: bool = True,
     num_shards: "int | None" = None,
     universe: "int | None" = None,
-    prefilter: bool = True,
+    prefilter: "bool | None" = None,
 ) -> DataFrame:
     """Block-max WAND over the compressed index, doc-sharded DAAT.
 
@@ -910,8 +1025,10 @@ def wand_topk_sharded(
     parity with wand_data.hpp:55-58).
 
     prefilter: apply the lossless plan-side block-max cut
-    (_block_prefilter_cuts) before the cogroup shuffle (default; False
-    is for A/B evidence in BENCH/wand_pruning.py)."""
+    (_block_prefilter_cuts) before the cogroup shuffle. None (default)
+    auto-enables at ≥ PREFILTER_MIN_BATCH queries, where its fixed cuts
+    stages amortize; True/False force it (A/B evidence in
+    BENCH/wand_pruning.py)."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
                 "wand" if use_block_max else "maxscore_bm_off", universe,
                 prefilter=prefilter)
@@ -936,7 +1053,7 @@ def maxscore_topk_sharded(
 
 def wand_sharded_decode_stats(
     idx, bidx, codec, queries, num_docs, norms=None, k=10, num_shards=None,
-    algo="wand", universe=None, prefilter=True,
+    algo="wand", universe=None, prefilter=None,
 ) -> DataFrame:
     """(query_id, shard, blocks_total, blocks_docs_decoded,
     blocks_freqs_decoded) — the pruning evidence surface (reference
@@ -972,8 +1089,10 @@ def _resolve_norms(idx, norms, universe):
 
 
 def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
-         universe=None, emit="topk", prefilter=True):
+         universe=None, emit="topk", prefilter=None):
     spark = queries.sparkSession
+    if prefilter is None:  # auto: fixed cuts stages amortize over batch
+        prefilter = queries.count() >= PREFILTER_MIN_BATCH
     norms_bc, slices_pre, ndf, universe = _resolve_norms(idx, norms, universe)
     # the docID universe (max assigned id + 1) can exceed num_docs when
     # ids are not dense (docs with no tokens leave holes); sharding and
@@ -988,28 +1107,9 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
     seed_df = (
         _exact_seed_df(idx, bidx, codec, qt_full, k) if k > TOPK_BOUND_K else None
     )
-    # index slice ships ONCE: blocks of the batch's terms, deduped
-    blocks_q = bidx.join(
-        F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
+    blocks_sh = _batch_blocks_sharded(
+        bidx, qt_full, qt, seed_df, k, algo, prefilter, ss
     )
-    if prefilter and algo == "wand":
-        # plan-side block-max prefilter (lossless — see
-        # _block_prefilter_cuts): blocks no query of the batch can use
-        # are dropped BEFORE the shard explode and the cogroup shuffle.
-        # WAND only — MaxScore is term-level pruning by contract.
-        cuts = _block_prefilter_cuts(qt_full, k, seed_df)
-        if cuts is not None:
-            blocks_q = (
-                blocks_q.join(F.broadcast(cuts), "term_id", "left")
-                .filter(
-                    F.col("bmw_cut").isNull()
-                    | F.col("block_max_weight").isNull()
-                    | F.isnan("block_max_weight")
-                    | (F.col("block_max_weight") >= F.col("bmw_cut"))
-                )
-                .drop("bmw_cut")
-            )
-    blocks_sh = blocks_q.withColumn("_shard", _shard_col(ss)).select(*_LEFT_COLS)
     if norms_bc is None:
         slices = slices_pre if slices_pre is not None else norm_slices(ndf, ss)
         left = blocks_sh.unionByName(slices)

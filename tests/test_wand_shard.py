@@ -371,7 +371,9 @@ def test_block_prefilter_drops_blocks_losslessly(spark, zipf_setup):
 
     ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs))
     assert _ranks(
-        wand_topk_sharded(idx, bidx, codec, q, idx.num_docs, norms)
+        wand_topk_sharded(
+            idx, bidx, codec, q, idx.num_docs, norms, prefilter=True
+        )
     ) == ref
     assert _ranks(
         wand_topk_sharded(
@@ -390,7 +392,9 @@ def test_block_prefilter_k25_exact_seed(spark, zipf_setup):
     q = _zipf_queries(spark)
     ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs, k=25))
     got = _ranks(
-        wand_topk_sharded(idx, bidx, codec, q, idx.num_docs, norms, k=25)
+        wand_topk_sharded(
+            idx, bidx, codec, q, idx.num_docs, norms, k=25, prefilter=True
+        )
     )
     assert got == ref
 
