@@ -126,6 +126,25 @@ def q_ft_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based plan routing (operators/router.py): picks the
+    exhaustive relational plan or the sharded cogroup kernel from the
+    batch's (Q, scored-rows) metadata — the measured r4 crossover
+    showed a 4× inversion between 500- and 2,000-query batches. Both
+    realizations are rank-identical, so the oracle is the SAME
+    RANKED_OR SQL regardless of which plan the router picks."""
+    from dint_spark.engine import get_block_index, get_norm_slices, get_universe
+    from dint_spark.operators.router import topk_auto
+
+    idx = _idx(spark, sf_dir)
+    bidx, codec = get_block_index(spark, sf_dir, "single_packed_dint")
+    return topk_auto(
+        idx, bidx, codec, _queries(spark), idx.num_docs,
+        get_norm_slices(spark, sf_dir), k=10,
+        universe=get_universe(spark, sf_dir),
+    )
+
+
 def q_ft_wand_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fully-relational two-phase WAND plan (operators/wand.py):
     metadata pruning + candidate decode + rescore, zero driver
@@ -433,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_vroom_roundtrip": q_ft_vroom_roundtrip,
         "ft_wand": q_ft_wand,
         "ft_maxscore": q_ft_maxscore,
+        "ft_topk_auto": q_ft_topk_auto,
         "ft_wand_twophase": q_ft_wand_twophase,
         "ft_maxscore_twophase": q_ft_maxscore_twophase,
         "ft_decode_roundtrip": q_ft_decode_roundtrip,
@@ -476,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_vroom_roundtrip": S.POSTINGS,
         "ft_wand": S.RANKED_OR,  # pruning must be lossless
         "ft_maxscore": S.RANKED_OR,
+        "ft_topk_auto": S.RANKED_OR,  # routing must be plan-invisible
         "ft_wand_twophase": S.RANKED_OR,
         "ft_maxscore_twophase": S.RANKED_OR,
         "ft_decode_roundtrip": S.POSTINGS,
