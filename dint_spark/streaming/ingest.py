@@ -64,10 +64,23 @@ def run_ingest(
     text_col: str = "text",
     doc_id_col: str = "doc_id",
     tokenizer=tokenize_words,
+    on_batch_done=None,
 ) -> int:
     """Drain the stream (Trigger.AvailableNow) appending per-batch
     postings deltas (term, doc_id, tf) under out_dir/postings_raw.
-    Returns the number of micro-batches processed."""
+    Returns the number of micro-batches processed.
+
+    Recovery contract (failure-tested in test_streaming_ingest.py): a
+    crash BEFORE a batch's append leaves no trace — restart on the same
+    checkpoint resumes at the failed batch; a crash AFTER the append but
+    before the checkpoint commit replays the batch on restart, and the
+    duplicate appends collapse at compaction (max(tf) per (term,
+    doc_id)). Either way the compacted postings equal the batch-built
+    oracle.
+
+    on_batch_done(batch_id): optional callback fired after each batch's
+    append (progress reporting; raising from it simulates the
+    post-append crash in tests)."""
     postings_dir = os.path.join(out_dir, "postings_raw")
     n_batches = {"n": 0}
 
@@ -76,6 +89,8 @@ def run_ingest(
         delta = build_postings_raw(tokens)  # within-batch agg: complete
         delta.write.mode("append").parquet(postings_dir)
         n_batches["n"] += 1
+        if on_batch_done is not None:
+            on_batch_done(batch_id)
 
     q = (
         docs_stream.writeStream.foreachBatch(sink)

@@ -107,3 +107,139 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     assert got[8] == (2, True), got
     assert got[1] == (1, False) and got[2] == (2, False)
     assert all(not got[d][1] for d in (0, 4, 9))
+
+
+def _batch_oracle(spark, rows):
+    from dint_spark.build.postings import build_postings_raw, build_vocab
+    from dint_spark.tokenizer import tokenize_words
+
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = build_postings_raw(tokenize_words(docs_df))
+    vocab = build_vocab(raw)
+    return raw.join(vocab.select("term", "term_id"), "term").select(
+        "term_id", "doc_id", "tf"
+    )
+
+
+def test_ingest_crash_before_append_restarts_from_checkpoint(spark, tmp_path):
+    """Kill the stream BETWEEN micro-batches (tokenizer raises on the
+    second batch, before any append), restart run_ingest on the SAME
+    checkpoint: the restarted query resumes at the failed batch — the
+    committed first batch is NOT reprocessed — and the compacted
+    postings equal the batch-built oracle."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dint_spark.streaming.ingest import (
+        compact_postings,
+        run_ingest,
+        stream_documents,
+    )
+    from dint_spark.tokenizer import tokenize_words
+
+    src = os.path.join(tmp_path, "landing_crash1")
+    out = os.path.join(tmp_path, "ingest_crash1")
+    rows = _write_doc_files(spark, src, n_files=3)
+
+    calls = {"n": 0}
+
+    def crashing_tokenizer(df, text_col="text", doc_id_col="doc_id"):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between micro-batches")
+        return tokenize_words(df, text_col=text_col, doc_id_col=doc_id_col)
+
+    stream = stream_documents(spark, src, max_files_per_trigger=1)
+    with pytest.raises(StreamingQueryException):
+        run_ingest(stream, out, tokenizer=crashing_tokenizer)
+
+    # restart on the same checkpoint with a healthy sink
+    stream2 = stream_documents(spark, src, max_files_per_trigger=1)
+    n2 = run_ingest(stream2, out)
+    assert n2 == 2, n2  # batches 1 and 2 only — batch 0 not reprocessed
+
+    got = compact_postings(spark, out)
+    want = _batch_oracle(spark, rows)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_ingest_crash_after_append_replays_idempotently(spark, tmp_path):
+    """The harsher failure point: crash AFTER a batch's parquet append
+    but BEFORE its checkpoint commit (on_batch_done raises). Restart
+    replays that batch — its delta lands twice — and compaction's
+    max(tf) collapse still matches the batch oracle exactly."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dint_spark.streaming.ingest import (
+        compact_postings,
+        run_ingest,
+        stream_documents,
+    )
+
+    src = os.path.join(tmp_path, "landing_crash2")
+    out = os.path.join(tmp_path, "ingest_crash2")
+    rows = _write_doc_files(spark, src, n_files=3)
+
+    fired = {"n": 0}
+
+    def crash_after_second(batch_id: int) -> None:
+        fired["n"] += 1
+        if fired["n"] == 2:
+            raise RuntimeError("injected crash after append, pre-commit")
+
+    stream = stream_documents(spark, src, max_files_per_trigger=1)
+    with pytest.raises(StreamingQueryException):
+        run_ingest(stream, out, on_batch_done=crash_after_second)
+
+    stream2 = stream_documents(spark, src, max_files_per_trigger=1)
+    n2 = run_ingest(stream2, out)
+    assert n2 == 2, n2  # the replayed batch + the last one
+
+    # the replayed batch's rows really are present twice pre-compaction
+    raw_rows = spark.read.parquet(os.path.join(out, "postings_raw"))
+    assert (
+        raw_rows.groupBy("term", "doc_id").count().filter("count > 1").count()
+        > 0
+    )
+
+    got = compact_postings(spark, out)
+    want = _batch_oracle(spark, rows)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_dedup_state_survives_stream_restart(spark, tmp_path):
+    """applyInPandasWithState recovery: drain, STOP the stream, drop a
+    new file whose text duplicates a batch-one doc, drain AGAIN on the
+    same checkpoint — the second query's state store must carry the
+    first drain's min-ids (the dup is flagged against a canonical the
+    second drain never saw), and the first drain's output rows are not
+    re-emitted."""
+    from dint_spark.streaming.ingest import run_streaming_dedup, stream_documents
+
+    src = os.path.join(tmp_path, "landing_restart")
+    out = os.path.join(tmp_path, "dedup_restart")
+    spark.createDataFrame(
+        [(0, "first text"), (1, "second text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    got1 = run_streaming_dedup(
+        stream_documents(spark, src, max_files_per_trigger=1), out
+    )
+    assert {r["doc_id"] for r in got1.collect()} == {0, 1}
+
+    # the stream is fully stopped; land a dup and restart from checkpoint
+    spark.createDataFrame(
+        [(7, "second text"), (8, "third text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    got2 = run_streaming_dedup(
+        stream_documents(spark, src, max_files_per_trigger=1), out
+    )
+    rows = {r["doc_id"]: (r["canonical_doc_id"], r["is_dup"]) for r in got2.collect()}
+    assert rows[7] == (1, True), rows   # state hit across restart
+    assert rows[8] == (8, False), rows
+    # exactly-once sink: docs 0/1 appear once in the accumulated output
+    from collections import Counter
+
+    counts = Counter(r["doc_id"] for r in got2.collect())
+    assert counts[0] == 1 and counts[1] == 1, counts
