@@ -93,7 +93,9 @@ def main() -> None:
     from dint_spark.operators.ranked import ranked_or
     from dint_spark.operators.wand_shard import (
         maxscore_topk_sharded,
+        shard_block_max,
         shipped_block_stats,
+        static_layout,
         wand_sharded_decode_stats,
         wand_topk_sharded,
     )
@@ -112,11 +114,24 @@ def main() -> None:
     norms = spark.sparkContext.broadcast(arr)
     q = spark.createDataFrame(QUERIES, schema="query_id long, terms array<string>")
     N = idx.num_docs
+    # the serving artifacts: static layout + per-(block, shard) true
+    # max weights (round 5 — dead straddle pairs dropped in the plan,
+    # shard-local bounds everywhere). OFF-denominator calls stay
+    # artifact-free: they measure what the kernel faced before ANY
+    # plan-side refinement (the r3/r4 comparable base).
+    universe = len(norms.value)
+    _nsh, ss = static_layout(universe)
+    sbmw = materialize(
+        shard_block_max(
+            idx.postings.select("term_id", "doc_id", "tf", "norm_len"), ss
+        )
+    )
 
-    def decode_counts(prefilter: bool) -> dict:
+    def decode_counts(prefilter: bool, sb=None) -> dict:
         rows = (
             wand_sharded_decode_stats(
-                idx, bidx, codec, q, N, norms, prefilter=prefilter
+                idx, bidx, codec, q, N, norms, prefilter=prefilter,
+                shard_bmw=sb,
             )
             .groupBy("query_id")
             .agg(
@@ -134,7 +149,7 @@ def main() -> None:
     # ON = the serving default. Raw counts throughout — fractions are
     # derived at the end, never re-inverted from rounded ratios.
     pq_off = decode_counts(prefilter=False)
-    pq_on = decode_counts(prefilter=True)
+    pq_on = decode_counts(prefilter=True, sb=sbmw)
     st = {
         "t": sum(t for t, _d, _f in pq_on.values()),
         "d": sum(d for _t, d, _f in pq_on.values()),
@@ -158,7 +173,7 @@ def main() -> None:
     ship_off = shipped_block_stats(idx, bidx, codec, q, N, norms,
                                    prefilter=False)
     ship_on = shipped_block_stats(idx, bidx, codec, q, N, norms,
-                                  prefilter=True)
+                                  prefilter=True, shard_bmw=sbmw)
 
     FLAT_IDS = [2]
     # --- algorithmic floor estimate for the DAAT queries ---------------
@@ -179,11 +194,8 @@ def main() -> None:
     }
     # cell counts at the SAME granularity the kernel counts decodes:
     # (block, shard) pairs — a block straddling s shards is s cells,
-    # each decoded independently by its shard's task
-    from dint_spark.operators.wand_shard import static_layout
-
-    universe = int(idx.docs.agg(F.max("doc_id")).first()[0]) + 1
-    _nsh, ss = static_layout(universe)
+    # each decoded independently by its shard's task (ss computed with
+    # the serving layout above)
     blk_map = {
         r["term"]: int(r["nc"])
         for r in bidx.join(idx.vocab.select("term", "term_id"), "term_id")
@@ -226,8 +238,12 @@ def main() -> None:
         )
 
     ref = ranks(ranked_or(idx.postings, q, idx.vocab, N))
-    assert ranks(wand_topk_sharded(idx, bidx, codec, q, N, norms)) == ref
-    assert ranks(maxscore_topk_sharded(idx, bidx, codec, q, N, norms)) == ref
+    assert ranks(
+        wand_topk_sharded(idx, bidx, codec, q, N, norms, shard_bmw=sbmw)
+    ) == ref
+    assert ranks(
+        maxscore_topk_sharded(idx, bidx, codec, q, N, norms, shard_bmw=sbmw)
+    ) == ref
 
     decoded = decode_block_index(bidx, codec).join(
         idx.docs.select("doc_id", "norm_len"), "doc_id"
@@ -310,7 +326,7 @@ def main() -> None:
             spark,
             {
                 "wand_sharded": lambda: wand_topk_sharded(
-                    idx, bidx, codec, qsel, N, norms
+                    idx, bidx, codec, qsel, N, norms, shard_bmw=sbmw
                 ).collect(),
                 "ranked_or_over_index": lambda: ranked_or(
                     decoded, qsel, idx.vocab, N
@@ -321,10 +337,10 @@ def main() -> None:
             spark,
             {
                 "wand_sharded": lambda: wand_topk_sharded(
-                    idx, bidx, codec, q, N, norms
+                    idx, bidx, codec, q, N, norms, shard_bmw=sbmw
                 ).collect(),
                 "maxscore_sharded": lambda: maxscore_topk_sharded(
-                    idx, bidx, codec, q, N, norms
+                    idx, bidx, codec, q, N, norms, shard_bmw=sbmw
                 ).collect(),
                 "ranked_or_over_index": lambda: ranked_or(
                     decoded, q, idx.vocab, N

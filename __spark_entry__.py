@@ -101,7 +101,9 @@ def q_ft_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas kernel — two shuffles total, lazy per-block decode.
     norm_lens ride the cogroup as per-shard packed slices (no
     driver-side collect or data-sized broadcast anywhere in the path)."""
-    from dint_spark.engine import get_block_index, get_norm_slices, get_universe
+    from dint_spark.engine import (
+        get_block_index, get_norm_slices, get_shard_bmw, get_universe,
+    )
     from dint_spark.operators.wand_shard import wand_topk_sharded
 
     idx = _idx(spark, sf_dir)
@@ -110,11 +112,14 @@ def q_ft_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, bidx, codec, _queries(spark), idx.num_docs,
         get_norm_slices(spark, sf_dir), k=10,
         universe=get_universe(spark, sf_dir),
+        shard_bmw=get_shard_bmw(spark, sf_dir),
     )
 
 
 def q_ft_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dint_spark.engine import get_block_index, get_norm_slices, get_universe
+    from dint_spark.engine import (
+        get_block_index, get_norm_slices, get_shard_bmw, get_universe,
+    )
     from dint_spark.operators.wand_shard import maxscore_topk_sharded
 
     idx = _idx(spark, sf_dir)
@@ -123,6 +128,7 @@ def q_ft_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, bidx, codec, _queries(spark), idx.num_docs,
         get_norm_slices(spark, sf_dir), k=10,
         universe=get_universe(spark, sf_dir),
+        shard_bmw=get_shard_bmw(spark, sf_dir),
     )
 
 
@@ -133,7 +139,9 @@ def q_ft_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     showed a 4× inversion between 500- and 2,000-query batches. Both
     realizations are rank-identical, so the oracle is the SAME
     RANKED_OR SQL regardless of which plan the router picks."""
-    from dint_spark.engine import get_block_index, get_norm_slices, get_universe
+    from dint_spark.engine import (
+        get_block_index, get_norm_slices, get_shard_bmw, get_universe,
+    )
     from dint_spark.operators.router import topk_auto
 
     idx = _idx(spark, sf_dir)
@@ -142,6 +150,7 @@ def q_ft_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, bidx, codec, _queries(spark), idx.num_docs,
         get_norm_slices(spark, sf_dir), k=10,
         universe=get_universe(spark, sf_dir),
+        shard_bmw=get_shard_bmw(spark, sf_dir),
     )
 
 

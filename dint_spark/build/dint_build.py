@@ -341,6 +341,36 @@ def _refill_banks(
     return out
 
 
+# --- build-time codec chooser (README.md:114 role: "[multi] should be
+# preferred" when it pays) -------------------------------------------------
+#
+# multi_packed's 2×6 dictionaries only beat single_packed once the SINGLE
+# dictionary's 65,529 usable entries saturate — i.e. when the corpus has
+# more useful patterns than one dictionary can hold. Measured on the
+# 50k-doc code corpus (5.4M postings, BENCH/multi_dict_50k.json): docs
+# 4.369 vs 5.948 bpi (−26.6%); at the driver sf corpora (≤116k postings)
+# the single dictionary holds every candidate that survives the DSF cost
+# filter and multi only adds per-block selector control bits. Postings
+# count is the cheap observable proxy for that saturation: the candidate
+# pool grows with corpus size, and the single dict was already at
+# capacity well below the 5.4M-posting measurement point. 1M is the
+# conservative crossover pick (log-midpoint of the bracketing
+# measurements 116k / 5.4M); below it the extra 6× stats pass and the
+# 12-way decode tables cost more than the bits they save.
+MULTI_PACKED_MIN_POSTINGS = 1_000_000
+
+
+def choose_packed_codec(n_postings: int) -> str:
+    """Resolve codec_name="auto": multi_packed_dint once dictionary
+    capacity plausibly binds (see MULTI_PACKED_MIN_POSTINGS above),
+    single_packed_dint below."""
+    return (
+        "multi_packed_dint"
+        if n_postings >= MULTI_PACKED_MIN_POSTINGS
+        else "single_packed_dint"
+    )
+
+
 def learn_multi_dint_model(
     postings: DataFrame,
     capacity: int = NUM_ENTRIES - RESERVED,

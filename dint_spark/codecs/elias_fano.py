@@ -210,3 +210,19 @@ class EliasFanoEnumerator:
         if i1 < self.n:
             return i1, self.move(i1)
         return None
+
+    def prev_value(self, i: int) -> int:
+        """Value preceding position i — the reference enumerator's
+        prev_value() observed with m_position == i
+        (ref:compact_elias_fano.hpp:233-254): 0 when i == 0, and for
+        i == n (past-the-end, the else-branch reading the last set bit
+        before lower_bits_offset) the final element. Its consumer is the
+        partitioned sequences' partition-boundary lookup (PEF upper
+        bounds, partitioned_sequence.hpp), which needs the predecessor
+        without rewinding the enumerator; here one select1 + one l-bit
+        gather via move(i-1) — no full decode."""
+        if i <= 0:
+            return 0
+        if i > self.n:
+            raise IndexError(i)
+        return self.move(i - 1)

@@ -17,6 +17,7 @@ _BLOCK_CACHE: dict[tuple[int, str, str], tuple] = {}
 _NORMS_CACHE: dict[tuple[int, str], object] = {}
 _UNIVERSE_CACHE: dict[tuple[int, str], int] = {}
 _NORMSLICE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHARDBMW_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def get_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
@@ -123,6 +124,29 @@ def get_norm_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nsh, ss = static_layout(get_universe(spark, sf_dir))
         df = materialize(norm_slices(idx.docs.select("doc_id", "norm_len"), ss))
         _NORMSLICE_CACHE[key] = df
+    return df
+
+
+def get_shard_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized shard_block_max() artifact for the index's static
+    layout — per-(block, shard) true max weights (wand_shard.py
+    shard_block_max docstring). Like norm_slices: one index-build-class
+    shuffle per session, then every batch's plan drops dead straddle
+    pairs and serves tight shard-local bounds from it."""
+    from dint_spark.operators.wand_shard import shard_block_max, static_layout
+    from dint_spark.util import materialize
+
+    key = (id(spark), sf_dir)
+    df = _SHARDBMW_CACHE.get(key)
+    if df is None:
+        idx = get_index(spark, sf_dir)
+        _nsh, ss = static_layout(get_universe(spark, sf_dir))
+        df = materialize(
+            shard_block_max(
+                idx.postings.select("term_id", "doc_id", "tf", "norm_len"), ss
+            )
+        )
+        _SHARDBMW_CACHE[key] = df
     return df
 
 

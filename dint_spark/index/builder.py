@@ -35,6 +35,7 @@ from dint_spark.build.blocks import build_block_index, decode_block_index, index
 from dint_spark.build.dint_build import (
     DintModel,
     MultiDintModel,
+    choose_packed_codec,
     learn_dint_model,
     learn_multi_dint_model,
 )
@@ -145,7 +146,20 @@ class IndexBuilder:
                 },
             )
         postings = self.spark.read.parquet(self._table("postings"))
-        fp_postings = self._load_lineage("postings")["input_fingerprint"] + ":postings"
+        postings_lineage = self._load_lineage("postings")
+        fp_postings = postings_lineage["input_fingerprint"] + ":postings"
+        # codec_name="auto": build-time chooser — multi_packed once
+        # dictionary capacity plausibly binds (postings-count proxy,
+        # build/dint_build.py:choose_packed_codec; README.md:114's
+        # "should be preferred" guidance made executable). Resolved
+        # AFTER the postings stage so the decision keys on the actual
+        # posting count; the resolved name flows into every downstream
+        # fingerprint, so re-running with a grown corpus that crosses
+        # the threshold re-encodes instead of resuming the single model.
+        self.codec_requested = self.codec_name
+        if self.codec_name == "auto":
+            self.codec_name = choose_packed_codec(int(postings_lineage["rows"]))
+            self.log.append(f"codec auto -> {self.codec_name}")
         # index/verify stages are keyed by postings AND codec (+ a schema
         # version token, + the model-selection version for multi — a new
         # dictionary model must re-encode the blocks too): re-running on
@@ -225,6 +239,7 @@ class IndexBuilder:
                     "stage": "index",
                     "input_fingerprint": fp_index,
                     "codec": self.codec_name,
+                    "codec_requested": self.codec_requested,
                     "n_blocks": stats["n_blocks"],
                     "n_postings": stats["n_postings"],
                     "docs_bpi": stats["docs_bpi"],

@@ -753,6 +753,55 @@ def norm_slices(
     )
 
 
+def shard_block_max(postings: DataFrame, shard_size: int) -> DataFrame:
+    """(term_id, block_id, _shard, bmw_s) — per-(block, shard) max BM25
+    doc-term weight, an INDEX artifact (like norm_slices: derived from
+    the static layout + the raw postings, built once, reused by every
+    batch).
+
+    Why it exists: block_max_weight is the block's GLOBAL max
+    (wand_data.hpp:109-119 role), but the sharded kernels score each
+    shard independently — for a sparse list whose one block straddles
+    the whole docID space, the global max rides into every shard, every
+    shard treats the term as live, and the block is shipped and decoded
+    once PER SHARD even where the term has zero in-shard postings.
+    This table gives each (block, shard) pair its true in-shard bound:
+
+      * pairs with NO in-shard postings simply have no row — the plan's
+        inner join drops them before the cogroup shuffle (lossless:
+        they contribute no docs to that shard's scoring, and enumerator
+        navigation over the surviving blocks still visits every
+        in-shard doc);
+      * surviving pairs carry bmw_s ≤ block_max_weight, which tightens
+        every downstream bound that already keys off the shipped bmw
+        column — the kernel's shard-local term ub (_ListEnum.ub via
+        _TermBlocks.max_bmw), the exhaustive merge's per-block skip,
+        and the plan prefilter's shard-local ubs — all of which bound
+        only in-shard docs, so a true in-shard max stays lossless.
+
+    Block membership reuses the EXACT build-time derivation
+    (build/blocks.py prepare_block_data: rank_within_term → rank //
+    BLOCK_SIZE), so the artifact's block_ids match the block index by
+    construction. Size: one row per (block, overlapped-nonempty shard)
+    ≈ a small multiple of the block count — metadata-sized at any
+    corpus scale, partition-pruned by the batch's term semi-join before
+    the plan join."""
+    from dint_spark.build.blocks import BLOCK_SIZE, rank_within_term
+    from dint_spark.functions.bm25 import doc_term_weight
+
+    ranked = rank_within_term(postings.select("term_id", "doc_id", "tf", "norm_len"))
+    return (
+        ranked.withColumn("block_id", (F.col("rank") / BLOCK_SIZE).cast("long"))
+        .withColumn(
+            "_shard", F.floor(F.col("doc_id") / F.lit(int(shard_size)))
+        )
+        .groupBy("term_id", "block_id", "_shard")
+        .agg(
+            F.max(doc_term_weight(F.col("tf"), F.col("norm_len"))).alias("bmw_s")
+        )
+    )
+
+
 _LEFT_COLS = [
     "term_id", "block_id", "n", "block_base", "block_max",
     "block_max_weight", "docs_bytes", "freqs_bytes", "_shard",
@@ -918,17 +967,37 @@ def _block_prefilter_cuts(
 
 
 def _batch_blocks_sharded(
-    bidx, qt_full, qt, seed_df, k, algo, prefilter, ss
+    bidx, qt_full, qt, seed_df, k, algo, prefilter, ss, shard_bmw=None
 ) -> DataFrame:
     """The index slice the cogroup shuffle ships for a query batch:
     blocks of the batch's terms (deduped, shipped ONCE), optionally
     plan-side block-max prefiltered, shard-exploded. Shared by _run and
     shipped_block_stats so the evidence surface measures EXACTLY the
-    serving plan."""
+    serving plan.
+
+    shard_bmw: optional shard_block_max() artifact. When present the
+    shard explode is refined to the pairs that actually hold postings
+    (inner join — dead straddle pairs never ship) and the shipped
+    block_max_weight column is replaced by the true in-shard max, which
+    tightens the plan prefilter AND the kernel's shard-local bounds
+    with zero kernel changes (both already read this column)."""
     blocks_q = bidx.join(
         F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
     )
     blocks_sh = blocks_q.withColumn("_shard", _shard_col(ss)).select(*_LEFT_COLS)
+    if shard_bmw is not None:
+        # semi-filter the artifact to the batch's terms first (same
+        # pruning the blocks got), then refine; sort-merge friendly on
+        # (term_id, block_id, _shard) — never a broadcast of an
+        # index-sized table
+        sb = shard_bmw.join(
+            F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
+        )
+        blocks_sh = (
+            blocks_sh.join(sb, ["term_id", "block_id", "_shard"], "inner")
+            .withColumn("block_max_weight", F.col("bmw_s"))
+            .select(*_LEFT_COLS)
+        )
     if prefilter and algo == "wand":
         # plan-side block-max prefilter (lossless — see
         # _block_prefilter_cuts): (block, shard) pairs no query of the
@@ -955,7 +1024,7 @@ def _batch_blocks_sharded(
 
 def shipped_block_stats(
     idx, bidx, codec, queries, num_docs, norms=None, k=10,
-    prefilter=True, num_shards=None, universe=None,
+    prefilter=True, num_shards=None, universe=None, shard_bmw=None,
 ) -> dict:
     """Rows and payload bytes the cogroup shuffle would ship for this
     batch — the shuffled-bytes evidence surface for the plan-side
@@ -976,7 +1045,7 @@ def shipped_block_stats(
     )
     r = (
         _batch_blocks_sharded(bidx, qt_full, qt, seed_df, k, "wand",
-                              prefilter, ss)
+                              prefilter, ss, shard_bmw)
         .agg(
             F.count("*").alias("rows"),
             F.sum(
@@ -1015,6 +1084,7 @@ def wand_topk_sharded(
     num_shards: "int | None" = None,
     universe: "int | None" = None,
     prefilter: "bool | None" = None,
+    shard_bmw: "DataFrame | None" = None,
 ) -> DataFrame:
     """Block-max WAND over the compressed index, doc-sharded DAAT.
 
@@ -1028,10 +1098,15 @@ def wand_topk_sharded(
     (_block_prefilter_cuts) before the cogroup shuffle. None (default)
     auto-enables at ≥ PREFILTER_MIN_BATCH queries, where its fixed cuts
     stages amortize; True/False force it (A/B evidence in
-    BENCH/wand_pruning.py)."""
+    BENCH/wand_pruning.py).
+
+    shard_bmw: optional shard_block_max() artifact (the serving path —
+    engine.get_shard_bmw): drops zero-posting (block, shard) straddle
+    pairs before the shuffle and replaces the shipped bmw with the true
+    in-shard max. Lossless; None preserves the global-bmw behavior."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
                 "wand" if use_block_max else "maxscore_bm_off", universe,
-                prefilter=prefilter)
+                prefilter=prefilter, shard_bmw=shard_bmw)
 
 
 def maxscore_topk_sharded(
@@ -1044,16 +1119,20 @@ def maxscore_topk_sharded(
     k: int = 10,
     num_shards: "int | None" = None,
     universe: "int | None" = None,
+    shard_bmw: "DataFrame | None" = None,
 ) -> DataFrame:
     """Term-level MaxScore over the compressed index, doc-sharded DAAT.
-    See wand_topk_sharded for the norms contract."""
+    See wand_topk_sharded for the norms and shard_bmw contracts (the
+    block-level plan PREFILTER stays off — MaxScore is term-level
+    pruning by contract — but the dead-pair drop and the tighter
+    shard-local term ubs apply)."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
-                "maxscore", universe)
+                "maxscore", universe, shard_bmw=shard_bmw)
 
 
 def wand_sharded_decode_stats(
     idx, bidx, codec, queries, num_docs, norms=None, k=10, num_shards=None,
-    algo="wand", universe=None, prefilter=None,
+    algo="wand", universe=None, prefilter=None, shard_bmw=None,
 ) -> DataFrame:
     """(query_id, shard, blocks_total, blocks_docs_decoded,
     blocks_freqs_decoded) — the pruning evidence surface (reference
@@ -1063,7 +1142,8 @@ def wand_sharded_decode_stats(
     between queries (each query pays its own decodes, as the reference's
     per-query profiler does)."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
-                algo, universe, emit="stats", prefilter=prefilter)
+                algo, universe, emit="stats", prefilter=prefilter,
+                shard_bmw=shard_bmw)
 
 
 def _resolve_norms(idx, norms, universe):
@@ -1089,7 +1169,7 @@ def _resolve_norms(idx, norms, universe):
 
 
 def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
-         universe=None, emit="topk", prefilter=None):
+         universe=None, emit="topk", prefilter=None, shard_bmw=None):
     spark = queries.sparkSession
     if prefilter is None:  # auto: fixed cuts stages amortize over batch
         prefilter = queries.count() >= PREFILTER_MIN_BATCH
@@ -1108,7 +1188,7 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
         _exact_seed_df(idx, bidx, codec, qt_full, k) if k > TOPK_BOUND_K else None
     )
     blocks_sh = _batch_blocks_sharded(
-        bidx, qt_full, qt, seed_df, k, algo, prefilter, ss
+        bidx, qt_full, qt, seed_df, k, algo, prefilter, ss, shard_bmw
     )
     if norms_bc is None:
         slices = slices_pre if slices_pre is not None else norm_slices(ndf, ss)

@@ -27,7 +27,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True, help="parquet path or synth:<n_docs>")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--codec", default="single_packed_dint")
+    ap.add_argument(
+        "--codec", default="single_packed_dint",
+        help="codec name, or 'auto' (multi_packed_dint once postings >= "
+        "MULTI_PACKED_MIN_POSTINGS — build/dint_build.py chooser)",
+    )
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
 

@@ -63,11 +63,21 @@ def main() -> None:
         if args.op == "ranked_and":
             return ranked_and(postings, qdf, vocab, num_docs, k=args.k).count()
         if args.op in ("wand", "wand_twophase", "maxscore"):
-            from dint_spark.build.dint_build import DintModel
+            from dint_spark.build.dint_build import DintModel, MultiDintModel
             from dint_spark.codecs.registry import get_codec
 
-            model = DintModel.load(spark, os.path.join(args.index, "dint_model"))
-            codec = get_codec("single_packed_dint", model)
+            # serve the codec the index was BUILT with (recorded in the
+            # build lineage — builder.py "codec"); an auto-chosen
+            # multi_packed index must not be decoded as single
+            with open(os.path.join(args.index, "_lineage", "index.json")) as f:
+                codec_name = json.load(f).get("codec", "single_packed_dint")
+            cls = (
+                MultiDintModel
+                if codec_name == "multi_packed_dint"
+                else DintModel
+            )
+            model = cls.load(spark, os.path.join(args.index, "dint_model"))
+            codec = get_codec(codec_name, model)
             bidx = materialize(spark.read.parquet(os.path.join(args.index, "index")))
             if args.op == "wand_twophase":
                 from dint_spark.operators.wand import wand_topk

@@ -57,3 +57,33 @@ def test_build_resume_and_verify(spark, small_corpus, tmp_path_factory):
     out2 = str(tmp_path_factory.mktemp("idx2"))
     r4 = IndexBuilder(spark, out2).build(c2)
     assert all(s.endswith("compute") for s in r4["stages"])
+
+
+def test_codec_auto_chooser(spark, small_corpus, tmp_path_factory, monkeypatch):
+    """codec_name='auto' resolves via the build-time chooser
+    (build/dint_build.py choose_packed_codec — README.md:114's 'multi
+    should be preferred' made executable): single below the threshold,
+    multi once postings cross it; the lineage records BOTH the request
+    and the resolution, and the auto-multi index verifies round-trip."""
+    from dint_spark.build import dint_build
+
+    assert dint_build.choose_packed_codec(0) == "single_packed_dint"
+    assert (
+        dint_build.choose_packed_codec(dint_build.MULTI_PACKED_MIN_POSTINGS)
+        == "multi_packed_dint"
+    )
+
+    # tiny corpus → auto resolves single
+    out = str(tmp_path_factory.mktemp("idx_auto_s"))
+    r = IndexBuilder(spark, out, codec_name="auto").build(small_corpus)
+    assert r["index"]["codec"] == "single_packed_dint"
+    assert r["index"]["codec_requested"] == "auto"
+    assert r["verify"]["missing"] == 0 and r["verify"]["extra"] == 0
+
+    # force the threshold under the tiny corpus → auto resolves multi,
+    # and the multi-encoded index still verifies (decode parity)
+    monkeypatch.setattr(dint_build, "MULTI_PACKED_MIN_POSTINGS", 1)
+    out2 = str(tmp_path_factory.mktemp("idx_auto_m"))
+    r2 = IndexBuilder(spark, out2, codec_name="auto").build(small_corpus)
+    assert r2["index"]["codec"] == "multi_packed_dint"
+    assert r2["verify"]["missing"] == 0 and r2["verify"]["extra"] == 0

@@ -165,3 +165,30 @@ def test_ef_enumerator_skips_without_full_low_unpack():
     en._lows = spy
     en.next_geq(int(vals[n // 2]) + 1)
     assert calls and max(calls) < n // 10, calls  # bucket-local, not full
+
+
+def test_ef_enumerator_prev_value():
+    """prev_value(i) ≡ the reference enumerator's prev_value() at
+    m_position == i (compact_elias_fano.hpp:233-254): 0 at the front,
+    element i-1 mid-list (duplicates included), last element at
+    past-the-end, IndexError beyond."""
+    import numpy as np
+    import pytest
+
+    from dint_spark.codecs import elias_fano as ef
+
+    rng = np.random.default_rng(321)
+    for trial in range(8):
+        n = int(rng.integers(1, 300))
+        u = int(rng.integers(n + 1, n * 40 + 2))
+        # non-decreasing WITH duplicates (compact EF allows ties)
+        vals = np.sort(rng.integers(0, u, size=n)).astype(np.uint64)
+        buf = ef.encode(vals, universe=u)
+        ref = ef.decode(buf, n).astype(np.int64)
+        en = ef.EliasFanoEnumerator(buf)
+        assert en.prev_value(0) == 0
+        for i in rng.integers(1, n + 1, size=25):
+            assert en.prev_value(int(i)) == int(ref[int(i) - 1]), (trial, i)
+        assert en.prev_value(n) == int(ref[-1])
+        with pytest.raises(IndexError):
+            en.prev_value(n + 1)

@@ -425,3 +425,108 @@ def test_norm_slices_chunked_rows(spark, zipf_setup):
         )
     )
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# shard_block_max artifact (per-(block, shard) true in-shard bounds)
+# ---------------------------------------------------------------------------
+
+
+def _shard_bmw_for(spark, idx, norms, num_shards):
+    from dint_spark.operators.wand_shard import shard_block_max
+
+    universe = len(norms.value)
+    ss = -(-universe // num_shards)
+    return (
+        shard_block_max(
+            idx.postings.select("term_id", "doc_id", "tf", "norm_len"), ss
+        ),
+        ss,
+    )
+
+
+def test_shard_block_max_matches_block_index(spark, zipf_setup):
+    """The artifact's (term_id, block_id) universe equals the built
+    block index's (same rank//BLOCK_SIZE derivation), its per-block
+    max-over-shards equals the index's global block_max_weight, and
+    every row's shard sits inside the block's doc span."""
+    idx, bidx, codec, norms = zipf_setup
+    sb, ss = _shard_bmw_for(spark, idx, norms, 3)
+
+    a = {(r["term_id"], r["block_id"]) for r in
+         sb.select("term_id", "block_id").distinct().collect()}
+    b = {(r["term_id"], r["block_id"]) for r in
+         bidx.select("term_id", "block_id").collect()}
+    assert a == b
+
+    glob = (
+        sb.groupBy("term_id", "block_id")
+        .agg(F.max("bmw_s").alias("mx"))
+        .join(bidx.select("term_id", "block_id", "block_max_weight"),
+              ["term_id", "block_id"])
+    )
+    bad = glob.filter(
+        F.abs(F.col("mx") - F.col("block_max_weight")) > 1e-12
+    ).count()
+    assert bad == 0
+
+    oob = (
+        sb.join(bidx.select("term_id", "block_id", "block_base", "block_max"),
+                ["term_id", "block_id"])
+        .filter(
+            (F.col("_shard") < F.floor((F.col("block_base") + 1) / ss))
+            | (F.col("_shard") > F.floor(F.col("block_max") / ss))
+        )
+        .count()
+    )
+    assert oob == 0
+
+
+@pytest.mark.parametrize("algo", ["wand", "maxscore"])
+@pytest.mark.parametrize("k", [10, 25])
+def test_sharded_rank_identity_with_shard_bmw(spark, zipf_setup, algo, k):
+    """Dead-pair drop + in-shard bmw override are LOSSLESS: top-k with
+    the artifact (prefilter forced on for wand) is rank-identical to the
+    exhaustive oracle, for both kernels, k ≤ and > TOPK_BOUND_K."""
+    from dint_spark.operators.ranked import ranked_or
+    from dint_spark.operators.wand_shard import (
+        maxscore_topk_sharded,
+        wand_topk_sharded,
+    )
+
+    idx, bidx, codec, norms = zipf_setup
+    q = _zipf_queries(spark)
+    sb, _ss = _shard_bmw_for(spark, idx, norms, 3)
+    ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs, k=k))
+    if algo == "wand":
+        got = wand_topk_sharded(
+            idx, bidx, codec, q, idx.num_docs, norms, k=k, num_shards=3,
+            prefilter=True, shard_bmw=sb,
+        )
+    else:
+        got = maxscore_topk_sharded(
+            idx, bidx, codec, q, idx.num_docs, norms, k=k, num_shards=3,
+            shard_bmw=sb,
+        )
+    assert _ranks(got) == ref
+
+
+def test_shard_bmw_drops_dead_pairs_and_bytes(spark, zipf_setup):
+    """A rare term's straddling block ships only to shards that hold
+    its postings: shipped rows and payload bytes strictly shrink with
+    the artifact while the top-k stays identical (the preceding test)."""
+    from dint_spark.operators.wand_shard import shipped_block_stats
+
+    idx, bidx, codec, norms = zipf_setup
+    q = _zipf_queries(spark)
+    sb, _ss = _shard_bmw_for(spark, idx, norms, 3)
+    off = shipped_block_stats(
+        idx, bidx, codec, q, idx.num_docs, norms, prefilter=False,
+        num_shards=3,
+    )
+    on = shipped_block_stats(
+        idx, bidx, codec, q, idx.num_docs, norms, prefilter=True,
+        num_shards=3, shard_bmw=sb,
+    )
+    assert on["shuffled_block_rows"] < off["shuffled_block_rows"]
+    assert on["shuffled_payload_bytes"] < off["shuffled_payload_bytes"]
