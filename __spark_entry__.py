@@ -318,6 +318,8 @@ def q_ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "block_varintgb",
             "gamma",
             "ef",
+            "pef_uniform",
+            "pef_opt",
             "block_interpolative",
             "single_packed_dint",
             "multi_packed_dint",

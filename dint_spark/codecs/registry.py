@@ -103,6 +103,39 @@ def _interp():
     return SymmetricCodec("block_interpolative", interpolative.encode, interpolative.decode)
 
 
+def _pef_mono(vals: np.ndarray) -> np.ndarray:
+    # gaps → strictly-increasing prefix sums: the positive_sequence trick
+    # (ref:positive_sequence.hpp:20-38) makes ANY u32 stream (freqs too)
+    # a valid strictly-monotone PEF input
+    v = np.asarray(vals, dtype=np.uint64)
+    return np.cumsum(v + 1) - 1
+
+
+def _pef_encode_u(vals: np.ndarray) -> bytes:
+    from dint_spark.codecs import partitioned_ef as pef
+
+    mono = _pef_mono(vals)
+    u = int(mono[-1]) + 1 if mono.size else 1
+    return pef.uniform_encode(mono, u)
+
+
+def _pef_encode_o(vals: np.ndarray) -> bytes:
+    from dint_spark.codecs import partitioned_ef as pef
+
+    mono = _pef_mono(vals)
+    u = int(mono[-1]) + 1 if mono.size else 1
+    return pef.partitioned_encode(mono, u)
+
+
+def _pef_decode(buf: bytes, n: int) -> np.ndarray:
+    from dint_spark.codecs import partitioned_ef as pef
+
+    mono = pef.partitioned_decode(buf, n).astype(np.uint64)
+    vals = np.diff(mono, prepend=np.uint64(0))
+    vals[1:] -= 1
+    return vals.astype(np.uint32)
+
+
 def get_codec(name: str, dint_model=None):
     """Resolve a codec by index-type name (index_types.hpp naming)."""
     if name in ("block_vbyte", "vbyte"):
@@ -113,6 +146,10 @@ def get_codec(name: str, dint_model=None):
         return SymmetricCodec("ef", _ef_encode, _ef_decode)
     if name in ("block_interpolative", "interpolative"):
         return _interp()
+    if name in ("pef_uniform", "uniform_partitioned"):
+        return SymmetricCodec("pef_uniform", _pef_encode_u, _pef_decode)
+    if name in ("pef_opt", "partitioned"):
+        return SymmetricCodec("pef_opt", _pef_encode_o, _pef_decode)
     if name == "block_simple16":
         from dint_spark.codecs import simple16
 
