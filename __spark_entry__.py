@@ -337,6 +337,19 @@ def q_ft_decode_roundtrip_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_block_index(bidx, codec)
 
 
+def q_ft_decode_roundtrip_pef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the partitioned-Elias-Fano index (pef_opt: optimal-DP
+    partitions, per-partition EF/bitvector/all-ones selection,
+    partitioned_sequence.hpp role) — must equal the oracle's postings
+    exactly. Both streams ride PEF via the positive_sequence prefix-sum
+    trick (registry adapter)."""
+    from dint_spark.build.blocks import decode_block_index
+    from dint_spark.engine import get_block_index
+
+    bidx, codec = get_block_index(spark, sf_dir, "pef_opt")
+    return decode_block_index(bidx, codec)
+
+
 def q_ft_dint_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codeword-class usage histogram (dint_statistics analog, A10;
     rows-only: depends on the encoded byte streams)."""
@@ -468,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_maxscore_twophase": q_ft_maxscore_twophase,
         "ft_decode_roundtrip": q_ft_decode_roundtrip,
         "ft_decode_roundtrip_multi": q_ft_decode_roundtrip_multi,
+        "ft_decode_roundtrip_pef": q_ft_decode_roundtrip_pef,
         "ft_block_meta": q_ft_block_meta,
         "ft_stream_ingest": q_ft_stream_ingest,
         "st_dedup_stream": q_st_dedup_stream,
@@ -512,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_maxscore_twophase": S.RANKED_OR,
         "ft_decode_roundtrip": S.POSTINGS,
         "ft_decode_roundtrip_multi": S.POSTINGS,
+        "ft_decode_roundtrip_pef": S.POSTINGS,
         "ft_block_meta": S.BLOCK_META,
         "ft_stream_ingest": S.POSTINGS,  # stream-built ≡ batch-built
         "st_dedup_stream": P.ST_DEDUP_STREAM,

@@ -88,25 +88,32 @@ def main() -> None:
             from dint_spark.operators.wand_shard import (
                 maxscore_topk_sharded,
                 norm_slices,
+                shard_block_max,
                 static_layout,
                 wand_topk_sharded,
             )
 
-            # norm slices are an INDEX artifact (static layout): pack
-            # once per process and reuse across the batch runs — the
-            # serving shape (engine.get_norm_slices); no driver-side
-            # per-doc collect anywhere
-            global _SLICES, _UNIVERSE
+            # norm slices + shard_block_max are INDEX artifacts (static
+            # layout): pack once per process and reuse across the batch
+            # runs — the serving shape (engine.get_norm_slices /
+            # get_shard_bmw); no driver-side per-doc collect anywhere
+            global _SLICES, _UNIVERSE, _SBMW
             if "_SLICES" not in globals():
                 _UNIVERSE = int(docs.agg(F.max("doc_id")).first()[0]) + 1
                 _nsh, ss = static_layout(_UNIVERSE)
                 _SLICES = materialize(
                     norm_slices(docs.select("doc_id", "norm_len"), ss)
                 )
+                _SBMW = materialize(
+                    shard_block_max(
+                        postings.select("term_id", "doc_id", "tf", "norm_len"),
+                        ss,
+                    )
+                )
             fn = wand_topk_sharded if args.op == "wand" else maxscore_topk_sharded
             return fn(
                 idx, bidx, codec, qdf, num_docs, _SLICES, k=args.k,
-                universe=_UNIVERSE,
+                universe=_UNIVERSE, shard_bmw=_SBMW,
             ).count()
         if args.op == "and":
             return and_query(postings, qdf).count()
