@@ -321,6 +321,7 @@ def q_ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pef_uniform",
             "pef_opt",
             "block_interpolative",
+            "mixed_block",
             "single_packed_dint",
             "multi_packed_dint",
         ],
@@ -348,6 +349,23 @@ def q_ft_decode_roundtrip_pef(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bidx, codec = get_block_index(spark, sf_dir, "pef_opt")
     return decode_block_index(bidx, codec)
+
+
+def q_ft_decode_roundtrip_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode a mixed_block index (F12: per-block codec choice with the
+    B13 decode-time model, type byte on full blocks, partial blocks
+    interpolative — mixed_block.hpp:10-218). Created the way the
+    reference mandates — BY TRANSFORMATION from an existing block index
+    (mixed_block.hpp:34, block_transformer:152-195): the vbyte index is
+    transcoded block-by-block (E5, one narrow map stage), then decoded;
+    must equal the oracle's postings exactly."""
+    from dint_spark.build.blocks import decode_block_index, transcode_block_index
+    from dint_spark.codecs.registry import get_codec
+    from dint_spark.engine import get_block_index
+
+    bidx, src = get_block_index(spark, sf_dir, "block_vbyte")
+    dst = get_codec("mixed_block")
+    return decode_block_index(transcode_block_index(bidx, src, dst), dst)
 
 
 def q_ft_dint_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_decode_roundtrip": q_ft_decode_roundtrip,
         "ft_decode_roundtrip_multi": q_ft_decode_roundtrip_multi,
         "ft_decode_roundtrip_pef": q_ft_decode_roundtrip_pef,
+        "ft_decode_roundtrip_mixed": q_ft_decode_roundtrip_mixed,
         "ft_block_meta": q_ft_block_meta,
         "ft_stream_ingest": q_ft_stream_ingest,
         "st_dedup_stream": q_st_dedup_stream,
@@ -527,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_decode_roundtrip": S.POSTINGS,
         "ft_decode_roundtrip_multi": S.POSTINGS,
         "ft_decode_roundtrip_pef": S.POSTINGS,
+        "ft_decode_roundtrip_mixed": S.POSTINGS,
         "ft_block_meta": S.BLOCK_META,
         "ft_stream_ingest": S.POSTINGS,  # stream-built ≡ batch-built
         "st_dedup_stream": P.ST_DEDUP_STREAM,

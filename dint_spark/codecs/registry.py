@@ -176,6 +176,14 @@ def get_codec(name: str, dint_model=None):
         from dint_spark.codecs import elias_gamma_delta as egd
 
         return SymmetricCodec("delta", egd.delta_encode, egd.delta_decode)
+    if name == "mixed_block":
+        # F12: per-block codec choice with the B13 decode-time model
+        # (mixed_block.hpp:10-218); created by transformation in the
+        # reference (hpp:34) — build.blocks.transcode_block_index is the
+        # block_transformer analog, and direct encode works too.
+        from dint_spark.codecs.mixed_block import MixedCodec
+
+        return MixedCodec()
     if name == "block_maskedvbyte":
         # MaskedVByte's WIRE FORMAT is plain VByte — the mask trick is a
         # SIMD decode path, not a format (Plaisance/Kurz/Lemire 2015).
