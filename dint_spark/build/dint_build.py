@@ -360,10 +360,20 @@ def _refill_banks(
 MULTI_PACKED_MIN_POSTINGS = 1_000_000
 
 
-def choose_packed_codec(n_postings: int) -> str:
-    """Resolve codec_name="auto": multi_packed_dint once dictionary
-    capacity plausibly binds (see MULTI_PACKED_MIN_POSTINGS above),
-    single_packed_dint below."""
+def choose_packed_codec(n_postings: int, objective: str = "serve") -> str:
+    """Resolve codec_name="auto".
+
+    objective="serve" (default): ALWAYS single_packed_dint — measured on
+    the 5.4M-posting corpus (BENCH/multi_serving_50k.json), the 12-way
+    multi decode costs 1.4-3.4× query wall against single at equal
+    correctness, so the chooser never silently trades serving latency
+    for bits. objective="space": multi_packed_dint once dictionary
+    capacity plausibly binds (MULTI_PACKED_MIN_POSTINGS — docs bpi
+    −25%, freqs −39% there), single below, where the extra 6× stats
+    pass and decode tables cost more than the bits they save. The
+    resolution is recorded in the build lineage either way."""
+    if objective == "serve":
+        return "single_packed_dint"
     return (
         "multi_packed_dint"
         if n_postings >= MULTI_PACKED_MIN_POSTINGS

@@ -156,10 +156,19 @@ class IndexBuilder:
         # posting count; the resolved name flows into every downstream
         # fingerprint, so re-running with a grown corpus that crosses
         # the threshold re-encodes instead of resuming the single model.
+        # "auto" optimizes the serving objective (ALWAYS single — the
+        # 12-way multi decode measured 1.4-3.4× query wall,
+        # BENCH/multi_serving_50k.json); "auto_space" optimizes storage
+        # (multi once capacity binds: docs bpi −25%, freqs −39% there).
         self.codec_requested = self.codec_name
-        if self.codec_name == "auto":
-            self.codec_name = choose_packed_codec(int(postings_lineage["rows"]))
-            self.log.append(f"codec auto -> {self.codec_name}")
+        if self.codec_name in ("auto", "auto_space"):
+            objective = "space" if self.codec_name == "auto_space" else "serve"
+            self.codec_name = choose_packed_codec(
+                int(postings_lineage["rows"]), objective
+            )
+            self.log.append(
+                f"codec {self.codec_requested} -> {self.codec_name}"
+            )
         # index/verify stages are keyed by postings AND codec (+ a schema
         # version token, + the model-selection version for multi — a new
         # dictionary model must re-encode the blocks too): re-running on

@@ -60,18 +60,28 @@ def test_build_resume_and_verify(spark, small_corpus, tmp_path_factory):
 
 
 def test_codec_auto_chooser(spark, small_corpus, tmp_path_factory, monkeypatch):
-    """codec_name='auto' resolves via the build-time chooser
-    (build/dint_build.py choose_packed_codec — README.md:114's 'multi
-    should be preferred' made executable): single below the threshold,
-    multi once postings cross it; the lineage records BOTH the request
-    and the resolution, and the auto-multi index verifies round-trip."""
+    """codec_name='auto' optimizes SERVING (always single — the 12-way
+    multi decode measured 1.4-3.4× query wall,
+    BENCH/multi_serving_50k.json); 'auto_space' optimizes storage
+    (multi once postings cross the capacity threshold — README.md:114's
+    'multi should be preferred' made executable for the space
+    objective). The lineage records BOTH the request and the
+    resolution, and the auto_space-multi index verifies round-trip."""
     from dint_spark.build import dint_build
 
     assert dint_build.choose_packed_codec(0) == "single_packed_dint"
+    # serve objective never trades latency for bits, even above threshold
     assert (
         dint_build.choose_packed_codec(dint_build.MULTI_PACKED_MIN_POSTINGS)
+        == "single_packed_dint"
+    )
+    assert (
+        dint_build.choose_packed_codec(
+            dint_build.MULTI_PACKED_MIN_POSTINGS, "space"
+        )
         == "multi_packed_dint"
     )
+    assert dint_build.choose_packed_codec(0, "space") == "single_packed_dint"
 
     # tiny corpus → auto resolves single
     out = str(tmp_path_factory.mktemp("idx_auto_s"))
@@ -80,10 +90,11 @@ def test_codec_auto_chooser(spark, small_corpus, tmp_path_factory, monkeypatch):
     assert r["index"]["codec_requested"] == "auto"
     assert r["verify"]["missing"] == 0 and r["verify"]["extra"] == 0
 
-    # force the threshold under the tiny corpus → auto resolves multi,
-    # and the multi-encoded index still verifies (decode parity)
+    # force the threshold under the tiny corpus → auto_space resolves
+    # multi, and the multi-encoded index still verifies (decode parity)
     monkeypatch.setattr(dint_build, "MULTI_PACKED_MIN_POSTINGS", 1)
     out2 = str(tmp_path_factory.mktemp("idx_auto_m"))
-    r2 = IndexBuilder(spark, out2, codec_name="auto").build(small_corpus)
+    r2 = IndexBuilder(spark, out2, codec_name="auto_space").build(small_corpus)
     assert r2["index"]["codec"] == "multi_packed_dint"
+    assert r2["index"]["codec_requested"] == "auto_space"
     assert r2["verify"]["missing"] == 0 and r2["verify"]["extra"] == 0

@@ -88,10 +88,28 @@ def main() -> None:
         model = learn_dint_model(idx.postings.select("term_id", "doc_id", "tf"))
         src = "sf0.1 (learned)"
 
+    from dint_spark.build import pack as packmod
+
     out: dict = {"model": src}
     for stream, d in (("docs", model.docs), ("freqs", model.freqs)):
         pats = [d.matrix[i, : int(d.sizes[i])] for i in range(len(d))]
-        out[stream] = pack_stats(pats)
+        st = pack_stats(pats)
+        # r5: the REAL compacted tables (build/pack.py implements B5 and
+        # B6 with losslessness verified in-process here); table bytes =
+        # 4·table_size + 4 per entry for the (offset,len) ref word —
+        # same accounting as packed_tight above
+        for policy in ("pack", "overlap"):
+            table, offsets = packmod.pack_table(pats, policy=policy)
+            packmod.verify_table(table, offsets)
+            # payload = the flat u32 table; refs = one 4-byte
+            # (offset,len) word per ORIGINAL entry (every entry is
+            # table-addressed in this layout, unlike packed_tight above
+            # which keeps non-prefix payloads in place)
+            st[f"{policy}_table_payload_bytes"] = int(4 * table.size)
+            st[f"{policy}_table_with_refs_bytes"] = int(
+                4 * table.size + 4 * len(offsets)
+            )
+        out[stream] = st
     # actual parquet size of the model table
     tmp = "/tmp/pack_report_model"
     model.save(spark, tmp)
