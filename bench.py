@@ -172,10 +172,10 @@ def main() -> None:
         "extra": {
             "host_load_1m_start": load_start,
             "host_load_1m_end": load_end,
-            "noise_suspect": bool(
-                noisy_start
-                or (load_end is not None and load_end > LOAD_NOISE_THRESHOLD)
-            ),
+            # keyed on START load only: by the end of a local[32] run the
+            # 1-minute average reflects the bench's own executor threads
+            # (self-load), which is expected, not co-tenant noise
+            "noise_suspect": noisy_start,
             "index_build_sec": round(t_build, 4),
             "n_postings": n_postings,
             "num_docs": idx.num_docs,
