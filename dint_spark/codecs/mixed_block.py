@@ -86,12 +86,32 @@ _predictors_cache: "dict[int, Predictor] | None" = None
 
 
 def default_predictors() -> "dict[int, Predictor]":
-    """Trained predictors if the shipped TSV exists, else the static
-    fallback (tests never depend on the artifact)."""
+    """Trained predictors if the shipped TSV is readable, else the
+    static fallback (tests never depend on the artifact). Loads via
+    importlib.resources so it also works from a spark-submit
+    --py-files zip (dist/dint_spark.zip), where plain paths into the
+    package directory don't exist on executor filesystems."""
     global _predictors_cache
     if _predictors_cache is None:
-        if os.path.exists(_DEFAULT_PREDICTORS_PATH):
-            _predictors_cache = dec_time.load_predictors(_DEFAULT_PREDICTORS_PATH)
+        text = None
+        try:
+            from importlib import resources
+
+            text = (
+                resources.files("dint_spark.codecs")
+                .joinpath("predictors_default.tsv")
+                .read_text()
+            )
+        except Exception:
+            if os.path.exists(_DEFAULT_PREDICTORS_PATH):
+                with open(_DEFAULT_PREDICTORS_PATH) as f:
+                    text = f.read()
+        if text is not None:
+            _predictors_cache = {}
+            for line in text.splitlines():
+                if line.strip():
+                    t, p = Predictor.from_line(line)
+                    _predictors_cache[t] = p
         else:
             _predictors_cache = dict(_FALLBACK_PREDICTORS)
     return _predictors_cache

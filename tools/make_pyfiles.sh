@@ -13,7 +13,7 @@ with zipfile.ZipFile("dist/dint_spark.zip", "w", zipfile.ZIP_DEFLATED) as z:
         if "__pycache__" in root:
             continue
         for f in files:
-            if f.endswith(".py"):
+            if f.endswith((".py", ".tsv")):
                 p = os.path.join(root, f)
                 z.write(p, p)
 print("dist/dint_spark.zip written")
