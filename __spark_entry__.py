@@ -471,6 +471,27 @@ def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(synth_media(_docs(spark, sf_dir)))
 
 
+def q_mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: synthesize 24-bit BMP bytes per doc (pixels a
+    closed form of doc_id), decode with the pure-numpy BMP parser
+    (functions/media_codecs.py — header walk, row padding, bottom-up
+    BGR), and emit exact per-channel pixel sums. The oracle recomputes
+    the sums from the closed form, so a hash match proves
+    bmp_encode∘bmp_decode ≡ identity on the real wire layout."""
+    from dint_spark.operators.multimodal import image_stats, synth_media_bmp
+
+    return image_stats(synth_media_bmp(_docs(spark, sf_dir)))
+
+
+def q_mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: PCM16 WAV bytes per doc (samples a closed
+    form of doc_id), decoded via the RIFF chunk walk; exact integer
+    aggregates hash-checked against the closed-form oracle."""
+    from dint_spark.operators.multimodal import audio_stats, synth_media_wav
+
+    return audio_stats(synth_media_wav(_docs(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -519,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_langid": q_ta_langid,
         "ta_fingerprint": q_ta_fingerprint,
         "mm_media_meta": q_mm_media_meta,
+        "mm_image_decode": q_mm_image_decode,
+        "mm_audio_decode": q_mm_audio_decode,
     }
 
 
@@ -566,4 +589,6 @@ def oracle_sql() -> dict[str, str]:
         "ta_langid": P.TA_LANGID,
         "ta_fingerprint": P.TA_FINGERPRINT,
         "mm_media_meta": P.MM_MEDIA_META,
+        "mm_image_decode": P.MM_IMAGE_DECODE,
+        "mm_audio_decode": P.MM_AUDIO_DECODE,
     }

@@ -348,6 +348,37 @@ SELECT doc_id,
 FROM documents
 """
 
+# The mm_image_decode / mm_audio_decode oracles recompute the decoded
+# pixel/sample aggregates from the CLOSED FORMS the synthetic media is
+# generated with (operators/multimodal.py synth_media_bmp/_wav) — a
+# hash match therefore proves the pure-numpy BMP/WAV encode∘decode is
+# the identity on the real wire layouts (row padding, bottom-up BGR
+# rows, RIFF chunk walk). generate_series is fixed-range + join filter
+# (this DuckDB build lacks correlated lateral table functions).
+MM_IMAGE_DECODE = """
+SELECT d.doc_id,
+       CAST(d.doc_id % 11 + 4 AS BIGINT) AS height,
+       CAST(d.doc_id % 13 + 4 AS BIGINT) AS width,
+       CAST(SUM((d.doc_id*31 + r.x*7 + c.x*3) % 256) AS BIGINT)      AS sum_r,
+       CAST(SUM((d.doc_id*31 + r.x*7 + c.x*3 + 11) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((d.doc_id*31 + r.x*7 + c.x*3 + 22) % 256) AS BIGINT) AS sum_b
+FROM documents d
+JOIN generate_series(0, 13) AS r(x) ON r.x < d.doc_id % 11 + 4
+JOIN generate_series(0, 15) AS c(x) ON c.x < d.doc_id % 13 + 4
+GROUP BY d.doc_id
+"""
+
+MM_AUDIO_DECODE = """
+SELECT d.doc_id,
+       CAST(8000 + (d.doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(d.doc_id % 500 + 100 AS BIGINT) AS n_samples,
+       CAST(SUM((d.doc_id*17 + i.x*5) % 4096 - 2048) AS BIGINT) AS sum_samples,
+       CAST(SUM(ABS((d.doc_id*17 + i.x*5) % 4096 - 2048)) AS BIGINT) AS sum_abs
+FROM documents d
+JOIN generate_series(0, 598) AS i(x) ON i.x < d.doc_id % 500 + 100
+GROUP BY d.doc_id
+"""
+
 ST_DEDUP_STREAM = """
 WITH g AS (
   SELECT md5(text) AS h, min(doc_id) AS canonical_doc_id
