@@ -316,6 +316,24 @@ fit predicts amortizes them — the 100 TB operating point — and its
 end-to-end efficiency is the literal north-rule number. The query row
 needs no such separation (its fixed share is small at 500 queries).
 
+Saturated-batch scaling anatomy (round 5, quiet-window confirmations
+at 12,000 queries): local[1] 43.2 q/s, local[2] 74.7, local[4] 119.2,
+local[8] 179.3 — efficiency 0.86 (1→2), 0.69 (1→4), 0.60 (2→8). The
+local[8] saturated wall lands on the r4 kernel-marginal prediction
+(T = fixed + Q/197.7 → 75.3 s predicted; 66.9-78.9 s measured), so the
+4N side DELIVERS the kernel-phase rate; the ratio compresses because
+the small config gains per-core throughput at saturation (37.3
+q/s/core at 2 workers vs 22.4 at 8). The cause is the host's memory
+subsystem, measured directly: an N-process numpy memcpy microbench
+holds ~12.7 GB/s per process at 1-4 processes, but the 8-process
+aggregate swings 16-144 GB/s across three consecutive runs (co-tenant
+DRAM contention; the pure-ALU busy-loop ceiling above scales 0.96 over
+the same span) — infrastructure, not plan shape. On a real 4N-executor
+cluster each executor owns its own memory channels, which is why the
+kernel-phase marginal row is the 100×-predictive number (r4
+quiet-window: 0.953; noisier windows put the pair-median at ~0.61 with
+per-pair rates spanning 129-349 q/s — same DRAM story).
+
 Compression (learned dictionaries, this corpus): docs {bi['docs_bpi']}
 bits/int, freqs {bi['freqs_bpi']} bits/int — reference README.md:110-115
 reports 4.766-5.939 docs / 2.455-3.047 freqs on its own 3.3M-posting
