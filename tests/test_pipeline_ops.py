@@ -140,8 +140,11 @@ def test_multimodal_plumbing(dup_docs):
     assert meta[0]["digest"] == meta[1]["digest"]
     frames = frame_sample(media, every_n=10).collect()
     assert len(frames) == 6  # each doc < 1 chunk → 1 frame row each
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+    # decode_image is REAL for BMP since r5 (tests/test_media_codecs.py);
+    # non-BMP media (these are utf-8 text bytes) still raises loudly —
+    # lazily, inside the kernel, like every Spark plan error
+    with pytest.raises(Exception, match="codec library"):
+        decode_image(media).collect()
 
 
 def test_embed_dups_bucketed_subset_of_exact(spark):
