@@ -483,6 +483,15 @@ def q_mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(synth_media_bmp(_docs(spark, sf_dir)))
 
 
+def q_mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize to 8x8, exact channel sums of
+    the RESIZED pixels; the oracle applies the same floor-index mapping
+    to the closed pixel form (decode AND resize proven end-to-end)."""
+    from dint_spark.operators.multimodal import resize_image_stats, synth_media_bmp
+
+    return resize_image_stats(synth_media_bmp(_docs(spark, sf_dir)))
+
+
 def q_mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: PCM16 WAV bytes per doc (samples a closed
     form of doc_id), decoded via the RIFF chunk walk; exact integer
@@ -541,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_fingerprint": q_ta_fingerprint,
         "mm_media_meta": q_mm_media_meta,
         "mm_image_decode": q_mm_image_decode,
+        "mm_image_resize": q_mm_image_resize,
         "mm_audio_decode": q_mm_audio_decode,
     }
 
@@ -590,5 +600,6 @@ def oracle_sql() -> dict[str, str]:
         "ta_fingerprint": P.TA_FINGERPRINT,
         "mm_media_meta": P.MM_MEDIA_META,
         "mm_image_decode": P.MM_IMAGE_DECODE,
+        "mm_image_resize": P.MM_IMAGE_RESIZE,
         "mm_audio_decode": P.MM_AUDIO_DECODE,
     }

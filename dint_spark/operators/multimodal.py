@@ -190,6 +190,36 @@ def image_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "media").mapInPandas(kernel, schema=out_schema)
 
 
+def resize_image_stats(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """Decode each BMP, nearest-neighbor resize to (out_h, out_w)
+    (functions/media_codecs.py:resize_nearest — source index =
+    out_idx·src_dim // out_dim, a pure index gather), and emit exact
+    per-channel sums of the RESIZED image. The DuckDB twin applies the
+    same floor-index mapping to the closed pixel form, so a hash match
+    proves decode + resize end-to-end."""
+    from dint_spark.functions.media_codecs import bmp_decode, resize_nearest
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("sum_r", T.LongType(), False),
+            T.StructField("sum_g", T.LongType(), False),
+            T.StructField("sum_b", T.LongType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+                px = resize_nearest(bmp_decode(bytes(buf)), out_h, out_w)
+                s = px.astype("int64").sum(axis=(0, 1))
+                rows.append((int(doc_id), int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(rows, columns=["doc_id", "sum_r", "sum_g", "sum_b"])
+
+    return media.select("doc_id", "media").mapInPandas(kernel, schema=out_schema)
+
+
 def synth_media_wav(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, media = REAL PCM16 WAV bytes). Samples are
     the closed form sample(i) = ((doc_id·17 + i·5) mod 4096) − 2048,

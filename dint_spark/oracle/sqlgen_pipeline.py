@@ -368,6 +368,20 @@ JOIN generate_series(0, 15) AS c(x) ON c.x < d.doc_id % 13 + 4
 GROUP BY d.doc_id
 """
 
+# resize twin: source index = out_idx·src_dim // 8 (the floor mapping
+# resize_nearest uses), applied to the closed pixel form at a fixed
+# 8×8 output
+MM_IMAGE_RESIZE = """
+SELECT d.doc_id,
+       CAST(SUM((d.doc_id*31 + (r.x * (d.doc_id % 11 + 4) // 8)*7 + (c.x * (d.doc_id % 13 + 4) // 8)*3) % 256) AS BIGINT)      AS sum_r,
+       CAST(SUM((d.doc_id*31 + (r.x * (d.doc_id % 11 + 4) // 8)*7 + (c.x * (d.doc_id % 13 + 4) // 8)*3 + 11) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((d.doc_id*31 + (r.x * (d.doc_id % 11 + 4) // 8)*7 + (c.x * (d.doc_id % 13 + 4) // 8)*3 + 22) % 256) AS BIGINT) AS sum_b
+FROM documents d
+JOIN generate_series(0, 7) AS r(x) ON true
+JOIN generate_series(0, 7) AS c(x) ON true
+GROUP BY d.doc_id
+"""
+
 MM_AUDIO_DECODE = """
 SELECT d.doc_id,
        CAST(8000 + (d.doc_id % 3) * 4000 AS BIGINT) AS sample_rate,

@@ -128,6 +128,21 @@ class TestSparkDecodeOps:
             assert r["sum_samples"] == int(s.sum())
             assert r["sum_abs"] == int(np.abs(s).sum())
 
+    def test_image_resize_stats(self, spark, tiny_docs):
+        from dint_spark.operators.multimodal import (
+            resize_image_stats, synth_media_bmp,
+        )
+
+        for r in resize_image_stats(synth_media_bmp(tiny_docs)).collect():
+            d = r["doc_id"]
+            w, h = d % 13 + 4, d % 11 + 4
+            rr = np.arange(h)[:, None, None]
+            cc = np.arange(w)[None, :, None]
+            ch = np.arange(3)[None, None, :]
+            px = ((d * 31 + rr * 7 + cc * 3 + ch * 11) % 256).astype(np.uint8)
+            s = mc.resize_nearest(px, 8, 8).astype(np.int64).sum(axis=(0, 1))
+            assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(x) for x in s)
+
     def test_non_bmp_raises_not_implemented(self, spark, tiny_docs):
         from dint_spark.operators.multimodal import decode_image, synth_media
 
