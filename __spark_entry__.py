@@ -154,6 +154,28 @@ def q_ft_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_wand_pef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sharded DAAT kernel serving a partitioned-Elias-Fano
+    index (pef_opt) — the serving path is codec-generic: any registry
+    codec's block index slots in (the reference compiles one engine per
+    index type, index_types.hpp:83-87; here it is one kernel, many
+    codecs). Oracle is the same RANKED_OR SQL: pruning and the codec
+    swap must both be lossless."""
+    from dint_spark.engine import (
+        get_block_index, get_norm_slices, get_shard_bmw, get_universe,
+    )
+    from dint_spark.operators.wand_shard import wand_topk_sharded
+
+    idx = _idx(spark, sf_dir)
+    bidx, codec = get_block_index(spark, sf_dir, "pef_opt")
+    return wand_topk_sharded(
+        idx, bidx, codec, _queries(spark), idx.num_docs,
+        get_norm_slices(spark, sf_dir), k=10,
+        universe=get_universe(spark, sf_dir),
+        shard_bmw=get_shard_bmw(spark, sf_dir),
+    )
+
+
 def q_ft_wand_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fully-relational two-phase WAND plan (operators/wand.py):
     metadata pruning + candidate decode + rescore, zero driver
@@ -525,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wand": q_ft_wand,
         "ft_maxscore": q_ft_maxscore,
         "ft_topk_auto": q_ft_topk_auto,
+        "ft_wand_pef": q_ft_wand_pef,
         "ft_wand_twophase": q_ft_wand_twophase,
         "ft_maxscore_twophase": q_ft_maxscore_twophase,
         "ft_decode_roundtrip": q_ft_decode_roundtrip,
@@ -574,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_wand": S.RANKED_OR,  # pruning must be lossless
         "ft_maxscore": S.RANKED_OR,
         "ft_topk_auto": S.RANKED_OR,  # routing must be plan-invisible
+        "ft_wand_pef": S.RANKED_OR,
         "ft_wand_twophase": S.RANKED_OR,
         "ft_maxscore_twophase": S.RANKED_OR,
         "ft_decode_roundtrip": S.POSTINGS,
