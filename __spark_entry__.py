@@ -102,7 +102,7 @@ def q_ft_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_lens ride the cogroup as per-shard packed slices (no
     driver-side collect or data-sized broadcast anywhere in the path)."""
     from dint_spark.engine import (
-        get_block_index, get_norm_slices, get_shard_bmw, get_universe,
+        get_block_index, get_norm_slices, get_sharded_blocks, get_universe,
     )
     from dint_spark.operators.wand_shard import wand_topk_sharded
 
@@ -112,13 +112,13 @@ def q_ft_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, bidx, codec, _queries(spark), idx.num_docs,
         get_norm_slices(spark, sf_dir), k=10,
         universe=get_universe(spark, sf_dir),
-        shard_bmw=get_shard_bmw(spark, sf_dir),
+        sharded_bidx=get_sharded_blocks(spark, sf_dir, "single_packed_dint"),
     )
 
 
 def q_ft_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dint_spark.engine import (
-        get_block_index, get_norm_slices, get_shard_bmw, get_universe,
+        get_block_index, get_norm_slices, get_sharded_blocks, get_universe,
     )
     from dint_spark.operators.wand_shard import maxscore_topk_sharded
 
@@ -128,7 +128,7 @@ def q_ft_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, bidx, codec, _queries(spark), idx.num_docs,
         get_norm_slices(spark, sf_dir), k=10,
         universe=get_universe(spark, sf_dir),
-        shard_bmw=get_shard_bmw(spark, sf_dir),
+        sharded_bidx=get_sharded_blocks(spark, sf_dir, "single_packed_dint"),
     )
 
 
@@ -140,7 +140,7 @@ def q_ft_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     realizations are rank-identical, so the oracle is the SAME
     RANKED_OR SQL regardless of which plan the router picks."""
     from dint_spark.engine import (
-        get_block_index, get_norm_slices, get_shard_bmw, get_universe,
+        get_block_index, get_norm_slices, get_sharded_blocks, get_universe,
     )
     from dint_spark.operators.router import topk_auto
 
@@ -150,7 +150,7 @@ def q_ft_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, bidx, codec, _queries(spark), idx.num_docs,
         get_norm_slices(spark, sf_dir), k=10,
         universe=get_universe(spark, sf_dir),
-        shard_bmw=get_shard_bmw(spark, sf_dir),
+        sharded_bidx=get_sharded_blocks(spark, sf_dir, "single_packed_dint"),
     )
 
 
@@ -162,7 +162,7 @@ def q_ft_wand_pef(spark: SparkSession, sf_dir: str) -> DataFrame:
     codecs). Oracle is the same RANKED_OR SQL: pruning and the codec
     swap must both be lossless."""
     from dint_spark.engine import (
-        get_block_index, get_norm_slices, get_shard_bmw, get_universe,
+        get_block_index, get_norm_slices, get_sharded_blocks, get_universe,
     )
     from dint_spark.operators.wand_shard import wand_topk_sharded
 
@@ -172,7 +172,7 @@ def q_ft_wand_pef(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, bidx, codec, _queries(spark), idx.num_docs,
         get_norm_slices(spark, sf_dir), k=10,
         universe=get_universe(spark, sf_dir),
-        shard_bmw=get_shard_bmw(spark, sf_dir),
+        sharded_bidx=get_sharded_blocks(spark, sf_dir, "pef_opt"),
     )
 
 

@@ -77,6 +77,10 @@ def dense_ids(
                 yield pdf
 
         result = part.mapInPandas(assign, schema=out_schema)
+        # NOTE: do NOT coalesce here — a narrow coalesce fuses into the
+        # same stage and `assign` would then see the COALESCED partition
+        # id, breaking the offset lookup. Callers right-size AFTER a
+        # materialization barrier (build_fulltext_index does).
         # Materialization boundary: caller should write/cache before unpersist;
         # we leave the persist in place (small tables) — Spark evicts LRU.
         return result

@@ -167,6 +167,19 @@ def build_fulltext_index(
     vocab = build_vocab(raw, scalable=scalable_vocab)
     if cache:
         vocab = materialize(vocab)
+        # Right-size the materialized layout: dense_ids range-partitions
+        # across defaultParallelism slices, so a small vocab came back as
+        # ~32 near-empty partitions and every later scan (each query's
+        # broadcast build) scheduled one task per slice — measured 31
+        # tasks per scan for a 31-row table. Scale-adaptive: ~4M rows
+        # per partition; the count is one build-time job over the
+        # already-checkpointed frame, and the coalesce is narrow (reads
+        # the checkpoint blocks, assigns ids nowhere — safe AFTER the
+        # materialization barrier, unsafe inside dense_ids).
+        nparts = vocab.rdd.getNumPartitions()
+        want = max(1, -(-vocab.count() // (1 << 22)))
+        if want < nparts:
+            vocab = vocab.coalesce(want)
 
     # No broadcast hints: vocab is O(distinct terms) and docs is
     # O(num_docs) — both data-sized at cluster scale. AQE broadcasts

@@ -53,6 +53,19 @@ def encode(values: np.ndarray, universe: int | None = None) -> bytes:
     u = int(universe) if universe is not None else int(v[-1]) + 1
     if u < int(v[-1]) + 1:
         raise ValueError("universe too small")
+    if int(v[-1]) > 0xFFFFFFFF:
+        # decode returns uint32 — larger VALUES would wrap SILENTLY
+        # (r5 ADVICE verified [1, 2^33] round-tripping to [1, 0]).
+        # Refuse loudly; callers with >u32 domains must re-base or
+        # partition first (PEF partition payloads are base-subtracted,
+        # but its u64-framed upper-bound sequence now fails loudly here
+        # instead of corrupting). The stored u32 universe header is
+        # never read back, so universe == 2^32 with in-range values
+        # stays valid (the registry adapters' full-u32 domain).
+        raise ValueError(
+            f"ef: value {int(v[-1])} exceeds the u32 wire domain; "
+            "re-base or partition the sequence (e.g. PEF) before EF-encoding"
+        )
     l = max(int(np.floor(np.log2(u / n))), 0) if u > n else 0
     low = _pack_bits(v, l)
     high = (v >> np.uint64(l)).astype(np.int64)

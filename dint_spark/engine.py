@@ -18,15 +18,27 @@ _NORMS_CACHE: dict[tuple[int, str], object] = {}
 _UNIVERSE_CACHE: dict[tuple[int, str], int] = {}
 _NORMSLICE_CACHE: dict[tuple[int, str], DataFrame] = {}
 _SHARDBMW_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHARDED_BIDX_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def get_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
     key = (id(spark), sf_dir)
     idx = _INDEX_CACHE.get(key)
     if idx is None:
+        from dint_spark.util import materialize
+
         docs_tbl = load_table(spark, sf_dir, "documents")
         tokens = tokenize_words(docs_tbl, text_col="text", doc_id_col="doc_id")
         idx = build_fulltext_index(tokens, with_norm_len=True, cache=True)
+        # pre-merged vocab⋈term_meta (term, term_id, df, max_weight, w10):
+        # the serving metadata join (wand_shard._qt_meta) then pays ONE
+        # broadcast build per batch instead of two. An index artifact —
+        # one tiny build-time join, term_meta-sized.
+        idx.term_catalog = materialize(
+            idx.vocab.join(
+                idx.term_meta.select("term_id", "max_weight", "w10"), "term_id"
+            ).select("term", "term_id", "df", "max_weight", "w10")
+        )
         _INDEX_CACHE[key] = idx
     return idx
 
@@ -147,6 +159,31 @@ def get_shard_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         _SHARDBMW_CACHE[key] = df
+    return df
+
+
+def get_sharded_blocks(
+    spark: SparkSession, sf_dir: str, codec_name: str = "single_packed_dint"
+) -> DataFrame:
+    """Materialized sharded_block_index() artifact: the block index
+    shard-exploded for the static layout with the shard_block_max
+    refinement pre-joined (dead straddle pairs dropped, in-shard max
+    weights in place). One index-build-class join per session; every
+    serve batch then goes term-semi-join → cogroup exchange, instead of
+    re-running a SortMergeJoin that shuffled the block payload a second
+    time per batch (guide §8: heavy bytes move once)."""
+    from dint_spark.operators.wand_shard import sharded_block_index, static_layout
+    from dint_spark.util import materialize
+
+    key = (id(spark), sf_dir, codec_name)
+    df = _SHARDED_BIDX_CACHE.get(key)
+    if df is None:
+        bidx, _codec = get_block_index(spark, sf_dir, codec_name)
+        _nsh, ss = static_layout(get_universe(spark, sf_dir))
+        df = materialize(
+            sharded_block_index(bidx, ss, get_shard_bmw(spark, sf_dir))
+        )
+        _SHARDED_BIDX_CACHE[key] = df
     return df
 
 

@@ -103,6 +103,15 @@ def wav_decode(buf: bytes) -> "tuple[np.ndarray, int]":
     while pos + 8 <= len(buf):
         cid, size = struct.unpack_from("<4sI", buf, pos)
         body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size and cid in (b"fmt ", b"data"):
+            # a declared-size slice past EOF silently returns fewer
+            # bytes — a corrupt data chunk then yielded a silently
+            # short sample array (r5 ADVICE); fail loudly like
+            # bmp_decode's truncation check
+            raise ValueError(
+                f"truncated WAV: {cid.decode(errors='replace').strip()} "
+                f"chunk declares {size} bytes, {len(body)} present"
+            )
         if cid == b"fmt ":
             tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             if tag != 1:

@@ -32,16 +32,36 @@ def query_terms(queries: DataFrame, dedup: bool) -> DataFrame:
     """Explode (query_id, terms[]) → (query_id, term[, qtf]).
 
     dedup=True: boolean semantics (remove_duplicate_terms, queries.hpp:29-32).
-    dedup=False adds qtf = multiplicity (query_freqs, queries.hpp:135-148).
+    dedup=False adds qtf = multiplicity (query_freqs, queries.hpp:135-148),
+    computed with array higher-order functions INSIDE the row (explode the
+    distinct terms, count multiplicity with a lambda over the original
+    array) instead of explode+groupBy — the groupBy formulation paid a
+    full Exchange at the root of every query plan (boolean, ranked, WAND
+    metadata) just to count duplicates within one row's array.
     """
     if dedup:
         return queries.select(
             "query_id", F.explode(F.array_distinct("terms")).alias("term")
         )
-    return (
-        queries.select("query_id", F.explode("terms").alias("term"))
-        .groupBy("query_id", "term")
-        .agg(F.count("*").cast("long").alias("qtf"))
+    return queries.select(
+        "query_id",
+        F.explode(F.array_distinct("terms")).alias("term"),
+        F.col("terms").alias("_terms"),
+    ).select(
+        "query_id",
+        "term",
+        F.size(F.filter("_terms", lambda x: x == F.col("term")))
+        .cast("long")
+        .alias("qtf"),
+    )
+
+
+def query_nterms(queries: DataFrame) -> DataFrame:
+    """(query_id, _k) — distinct-term count per query, exchange-free
+    (size∘array_distinct on the terms array; the explode+groupBy
+    formulation paid a shuffle for a per-row scalar)."""
+    return queries.select(
+        "query_id", F.size(F.array_distinct("terms")).cast("long").alias("_k")
     )
 
 
@@ -51,7 +71,7 @@ def and_query(postings: DataFrame, queries: DataFrame) -> DataFrame:
     Queries whose terms match no common doc report 0 (left join keeps them).
     """
     qt = query_terms(queries, dedup=True)
-    nterms = qt.groupBy("query_id").agg(F.count("*").alias("_k"))
+    nterms = query_nterms(queries)
     hits = (
         postings.select("term", "doc_id")
         .join(F.broadcast(qt), "term")
@@ -62,9 +82,12 @@ def and_query(postings: DataFrame, queries: DataFrame) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("*").cast("long").alias("matches"))
     )
+    # hits is ≤ one row per query — broadcast it; without the hint the
+    # stats-free createDataFrame left side forces a SortMergeJoin
+    # (Exchange+Sort on both sides) for a |queries|-row join.
     return (
         queries.select("query_id")
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select("query_id", F.coalesce("matches", F.lit(0)).cast("long").alias("matches"))
     )
 
@@ -80,7 +103,7 @@ def or_query(postings: DataFrame, queries: DataFrame) -> DataFrame:
     )
     return (
         queries.select("query_id")
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select("query_id", F.coalesce("matches", F.lit(0)).cast("long").alias("matches"))
     )
 
@@ -88,7 +111,7 @@ def or_query(postings: DataFrame, queries: DataFrame) -> DataFrame:
 def and_docs(postings: DataFrame, queries: DataFrame) -> DataFrame:
     """(query_id, doc_id) — the matching docs themselves (with_freqs shape)."""
     qt = query_terms(queries, dedup=True)
-    nterms = qt.groupBy("query_id").agg(F.count("*").alias("_k"))
+    nterms = query_nterms(queries)
     return (
         postings.select("term", "doc_id")
         .join(F.broadcast(qt), "term")

@@ -165,8 +165,9 @@ def ranked_and(
     multiplicities. Implemented as score_all restricted by a per-doc
     distinct-term count == |q| (same single shuffle, second lightweight agg).
     """
-    qt = query_terms(queries, dedup=True)
-    nterms = qt.groupBy("query_id").agg(F.count("*").alias("_k"))
+    from dint_spark.operators.boolean import query_nterms
+
+    nterms = query_nterms(queries)
     # ONE aggregation computes both the score and the matched-term count
     # (_scored_postings emits exactly one row per (query, term, doc)), so
     # the AND filter adds no extra shuffle — and with doc_id-partitioned

@@ -94,6 +94,7 @@ def topk_auto(
     universe: "int | None" = None,
     force: "str | None" = None,
     shard_bmw: "DataFrame | None" = None,
+    sharded_bidx: "DataFrame | None" = None,
 ) -> DataFrame:
     """Ranked top-k with cost-based plan choice.
 
@@ -123,4 +124,5 @@ def topk_auto(
         return ranked_or(idx.postings, queries, idx.vocab, num_docs, k=k)
     fn = wand_topk_sharded if algo == "wand" else maxscore_topk_sharded
     return fn(idx, bidx, codec, queries, num_docs, norms, k=k,
-              universe=universe, shard_bmw=shard_bmw)
+              universe=universe, shard_bmw=shard_bmw,
+              sharded_bidx=sharded_bidx)

@@ -102,6 +102,8 @@ PREFILTER_MIN_BATCH = 64  # auto-enable the plan-side block-max prefilter
 # it belongs with the other fixed batch-amortized stages — free at the
 # 500-2,000-query batches of the 100 TB regime, pure overhead for a
 # handful of interactive queries
+SEQ_SHARD_MAX = 4096  # fan shard ids out via sequence-explode up to this
+# many shards (bounded per-row array); larger layouts stream a range frame
 TARGET_SHARD_SPAN = 1 << 18  # 262,144 docs (~1024 blocks): max doc span
 # per shard. The SPAN cap — not the shard COUNT — is what bounds the
 # kernel's working set (its dense norms array is np.zeros(hi−lo) and its
@@ -815,6 +817,19 @@ _LEFT_SCHEMA = (
 
 def _qt_meta(idx: FullTextIndex, queries: DataFrame, num_docs: int) -> DataFrame:
     qt = query_terms(queries, dedup=False)
+    cat = getattr(idx, "term_catalog", None)
+    if cat is not None:
+        # pre-merged vocab⋈term_meta index artifact (engine.get_index):
+        # ONE broadcast join per serve call instead of two
+        qt = qt.join(
+            F.broadcast(
+                cat.select("term", "term_id", "df", "max_weight", "w10")
+            ),
+            "term",
+        )
+        return qt.withColumn(
+            "qw", query_term_weight(F.col("qtf"), F.col("df"), F.lit(num_docs))
+        )
     qt = qt.join(F.broadcast(idx.vocab.select("term", "term_id", "df")), "term")
     return qt.withColumn(
         "qw", query_term_weight(F.col("qtf"), F.col("df"), F.lit(num_docs))
@@ -966,8 +981,37 @@ def _block_prefilter_cuts(
     return qts.groupBy("term_id", "_shard").agg(F.min(cut).alias("bmw_cut"))
 
 
+def sharded_block_index(
+    bidx: DataFrame, shard_size: int, shard_bmw: "DataFrame | None" = None
+) -> DataFrame:
+    """Shard-explode a block index ONCE, at index-preparation time —
+    (block, shard) rows with the in-shard-refined max weight when the
+    shard_block_max() artifact is supplied (dead straddle pairs dropped
+    by the inner join, bmw replaced by the true in-shard max).
+
+    Rationale (guide §8 / r5 VERDICT "what's wrong #2"): the serving
+    plan used to run this join per QUERY BATCH as a SortMergeJoin whose
+    both sides carry the block payload — the payload crossed one
+    exchange for the join and a second for the cogroup. The join's
+    inputs (bidx, shard_bmw) and key (the static layout) are all INDEX
+    properties, so the joined frame is an index artifact: built once,
+    materialized (engine.get_sharded_blocks), and every batch's plan
+    goes straight from term semi-join to the single cogroup exchange."""
+    blocks_sh = bidx.withColumn("_shard", _shard_col(int(shard_size))).select(
+        *_LEFT_COLS
+    )
+    if shard_bmw is not None:
+        blocks_sh = (
+            blocks_sh.join(shard_bmw, ["term_id", "block_id", "_shard"], "inner")
+            .withColumn("block_max_weight", F.col("bmw_s"))
+            .select(*_LEFT_COLS)
+        )
+    return blocks_sh
+
+
 def _batch_blocks_sharded(
-    bidx, qt_full, qt, seed_df, k, algo, prefilter, ss, shard_bmw=None
+    bidx, qt_full, qt, seed_df, k, algo, prefilter, ss, shard_bmw=None,
+    sharded_bidx=None,
 ) -> DataFrame:
     """The index slice the cogroup shuffle ships for a query batch:
     blocks of the batch's terms (deduped, shipped ONCE), optionally
@@ -975,29 +1019,42 @@ def _batch_blocks_sharded(
     shipped_block_stats so the evidence surface measures EXACTLY the
     serving plan.
 
+    sharded_bidx: pre-sharded index artifact (sharded_block_index,
+    already exploded + bmw-refined for THIS layout) — the serving path;
+    the per-batch explode/join below is the fallback for ad-hoc layouts.
+
     shard_bmw: optional shard_block_max() artifact. When present the
     shard explode is refined to the pairs that actually hold postings
     (inner join — dead straddle pairs never ship) and the shipped
     block_max_weight column is replaced by the true in-shard max, which
     tightens the plan prefilter AND the kernel's shard-local bounds
-    with zero kernel changes (both already read this column)."""
-    blocks_q = bidx.join(
-        F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
-    )
-    blocks_sh = blocks_q.withColumn("_shard", _shard_col(ss)).select(*_LEFT_COLS)
-    if shard_bmw is not None:
-        # semi-filter the artifact to the batch's terms first (same
-        # pruning the blocks got), then refine; sort-merge friendly on
-        # (term_id, block_id, _shard) — never a broadcast of an
-        # index-sized table
-        sb = shard_bmw.join(
-            F.broadcast(qt.select("term_id").distinct()), "term_id", "left_semi"
+    with zero kernel changes (both already read this column).
+
+    The broadcast semi-join build sides skip .distinct(): a broadcast
+    left-semi probe is duplicate-insensitive, and the distinct added an
+    Exchange to every serve plan."""
+    if sharded_bidx is not None:
+        blocks_sh = sharded_bidx.join(
+            F.broadcast(qt.select("term_id")), "term_id", "left_semi"
         )
-        blocks_sh = (
-            blocks_sh.join(sb, ["term_id", "block_id", "_shard"], "inner")
-            .withColumn("block_max_weight", F.col("bmw_s"))
-            .select(*_LEFT_COLS)
+    else:
+        blocks_q = bidx.join(
+            F.broadcast(qt.select("term_id")), "term_id", "left_semi"
         )
+        blocks_sh = sharded_block_index(blocks_q, ss, None)
+        if shard_bmw is not None:
+            # semi-filter the artifact to the batch's terms first (same
+            # pruning the blocks got), then refine; sort-merge friendly on
+            # (term_id, block_id, _shard) — never a broadcast of an
+            # index-sized table
+            sb = shard_bmw.join(
+                F.broadcast(qt.select("term_id")), "term_id", "left_semi"
+            )
+            blocks_sh = (
+                blocks_sh.join(sb, ["term_id", "block_id", "_shard"], "inner")
+                .withColumn("block_max_weight", F.col("bmw_s"))
+                .select(*_LEFT_COLS)
+            )
     if prefilter and algo == "wand":
         # plan-side block-max prefilter (lossless — see
         # _block_prefilter_cuts): (block, shard) pairs no query of the
@@ -1085,6 +1142,7 @@ def wand_topk_sharded(
     universe: "int | None" = None,
     prefilter: "bool | None" = None,
     shard_bmw: "DataFrame | None" = None,
+    sharded_bidx: "DataFrame | None" = None,
 ) -> DataFrame:
     """Block-max WAND over the compressed index, doc-sharded DAAT.
 
@@ -1106,7 +1164,8 @@ def wand_topk_sharded(
     in-shard max. Lossless; None preserves the global-bmw behavior."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
                 "wand" if use_block_max else "maxscore_bm_off", universe,
-                prefilter=prefilter, shard_bmw=shard_bmw)
+                prefilter=prefilter, shard_bmw=shard_bmw,
+                sharded_bidx=sharded_bidx)
 
 
 def maxscore_topk_sharded(
@@ -1120,6 +1179,7 @@ def maxscore_topk_sharded(
     num_shards: "int | None" = None,
     universe: "int | None" = None,
     shard_bmw: "DataFrame | None" = None,
+    sharded_bidx: "DataFrame | None" = None,
 ) -> DataFrame:
     """Term-level MaxScore over the compressed index, doc-sharded DAAT.
     See wand_topk_sharded for the norms and shard_bmw contracts (the
@@ -1127,12 +1187,14 @@ def maxscore_topk_sharded(
     pruning by contract — but the dead-pair drop and the tighter
     shard-local term ubs apply)."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
-                "maxscore", universe, shard_bmw=shard_bmw)
+                "maxscore", universe, shard_bmw=shard_bmw,
+                sharded_bidx=sharded_bidx)
 
 
 def wand_sharded_decode_stats(
     idx, bidx, codec, queries, num_docs, norms=None, k=10, num_shards=None,
     algo="wand", universe=None, prefilter=None, shard_bmw=None,
+    sharded_bidx=None,
 ) -> DataFrame:
     """(query_id, shard, blocks_total, blocks_docs_decoded,
     blocks_freqs_decoded) — the pruning evidence surface (reference
@@ -1143,7 +1205,7 @@ def wand_sharded_decode_stats(
     per-query profiler does)."""
     return _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards,
                 algo, universe, emit="stats", prefilter=prefilter,
-                shard_bmw=shard_bmw)
+                shard_bmw=shard_bmw, sharded_bidx=sharded_bidx)
 
 
 def _resolve_norms(idx, norms, universe):
@@ -1168,11 +1230,37 @@ def _resolve_norms(idx, norms, universe):
     return None, slices_pre, ndf, int(universe)
 
 
+def _codec_broadcast(spark, codec):
+    """Memoized sc.broadcast(codec). The codec object (including the
+    DINT dictionary model, MB-class) was re-pickled and re-shipped on
+    EVERY serve call — a fixed per-query cost for a per-index artifact.
+    Keyed by (context, codec) identity with the codec strongly
+    referenced so a recycled id() can never alias."""
+    key = (id(spark.sparkContext), id(codec))
+    hit = _CODEC_BC_CACHE.get(key)
+    if hit is not None and hit[0] is codec:
+        return hit[1]
+    bc = spark.sparkContext.broadcast(codec)
+    _CODEC_BC_CACHE[key] = (codec, bc)
+    return bc
+
+
+_CODEC_BC_CACHE: dict = {}
+
+
 def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
-         universe=None, emit="topk", prefilter=None, shard_bmw=None):
+         universe=None, emit="topk", prefilter=None, shard_bmw=None,
+         sharded_bidx=None):
     spark = queries.sparkSession
     if prefilter is None:  # auto: fixed cuts stages amortize over batch
-        prefilter = queries.count() >= PREFILTER_MIN_BATCH
+        # batch size from plan metadata when the producer attached it
+        # (queryset.queries_df), else a bounded take() probe that stops
+        # at PREFILTER_MIN_BATCH rows — the old full count() ran an
+        # unbounded eager job on every serve call (r5 ADVICE).
+        nq = getattr(queries, "_dint_nq", None)
+        if nq is None:
+            nq = len(queries.select("query_id").take(PREFILTER_MIN_BATCH))
+        prefilter = nq >= PREFILTER_MIN_BATCH
     norms_bc, slices_pre, ndf, universe = _resolve_norms(idx, norms, universe)
     # the docID universe (max assigned id + 1) can exceed num_docs when
     # ids are not dense (docs with no tokens leave holes); sharding and
@@ -1188,16 +1276,39 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
         _exact_seed_df(idx, bidx, codec, qt_full, k) if k > TOPK_BOUND_K else None
     )
     blocks_sh = _batch_blocks_sharded(
-        bidx, qt_full, qt, seed_df, k, algo, prefilter, ss, shard_bmw
+        bidx, qt_full, qt, seed_df, k, algo, prefilter, ss, shard_bmw,
+        sharded_bidx=sharded_bidx if num_shards is None else None,
     )
     if norms_bc is None:
         slices = slices_pre if slices_pre is not None else norm_slices(ndf, ss)
         left = blocks_sh.unionByName(slices)
     else:
         left = blocks_sh
-    qx = qt.crossJoin(
-        F.broadcast(spark.range(nsh).select(F.col("id").alias("_shard")))
-    )
+    if nsh <= SEQ_SHARD_MAX:
+        # small layouts: fan the shard ids out with a per-row sequence
+        # explode — zero extra source, zero broadcast job. (The old
+        # crossJoin(broadcast(spark.range(nsh))) scheduled a
+        # defaultParallelism-sized scan — 32 tasks for ONE shard id —
+        # plus a broadcast build job on every serve call.)
+        qx = qt.withColumn(
+            "_shard",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(nsh - 1).cast("long")
+                )
+            ),
+        )
+    else:
+        # large layouts: a sequence() would materialize an nsh-element
+        # array per query-term row; stream the ids from a right-sized
+        # range instead (~1M ids per split, an index-scale property)
+        qx = qt.crossJoin(
+            F.broadcast(
+                spark.range(0, nsh, 1, max(1, -(-nsh // (1 << 20)))).select(
+                    F.col("id").alias("_shard")
+                )
+            )
+        )
     if k > TOPK_BOUND_K:
         # w10 only bounds the 10th-best; for larger k ship an EXACT
         # per-query kth-partial seed (tiny |queries|-row frame) so
@@ -1205,7 +1316,7 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
         qx = qx.join(F.broadcast(seed_df), "query_id", "left")
     else:
         qx = qx.withColumn("seed", F.lit(None).cast("double"))
-    codec_bc = spark.sparkContext.broadcast(codec)
+    codec_bc = _codec_broadcast(spark, codec)
 
     stats_mode = emit == "stats"
     out_schema = (

@@ -37,11 +37,31 @@ QUERY_SET: list[tuple[int, list[str]]] = [
 
 
 def queries_df(spark: SparkSession) -> DataFrame:
-    """Small DataFrame (query_id long, terms array<string>) — broadcast side."""
-    return spark.createDataFrame(
-        [(int(qid), terms) for qid, terms in QUERY_SET],
-        schema="query_id long, terms array<string>",
+    """Small DataFrame (query_id long, terms array<string>) — broadcast side.
+
+    Realized as a SQL VALUES LocalRelation, not createDataFrame:
+    createDataFrame parallelizes even a 16-row batch into
+    defaultParallelism Python-RDD slices — every scan of the frame (the
+    query plans read it several times) then scheduled one task per
+    slice (32 tasks at local[32]) AND paid a Python-worker round trip
+    to deserialize 16 pickled rows (~0.15 s per action, measured). A
+    LocalRelation lives in the JVM, carries real size stats (so the
+    planner broadcasts it without hints), and its scan is free. A
+    genuinely huge query log would arrive as a table, not as literals.
+
+    _dint_nq: the batch size as plan metadata, so operators that gate
+    fixed-cost subplans on batch size (wand_shard._run's prefilter
+    auto-enable) can read it without running a count() job per query.
+    """
+    rows = []
+    for qid, terms in QUERY_SET:
+        arr = ", ".join("'" + t + "'" for t in terms)
+        rows.append(f"(CAST({qid} AS BIGINT), array({arr}))")
+    df = spark.sql(
+        "SELECT col1 AS query_id, col2 AS terms FROM VALUES " + ", ".join(rows)
     )
+    df._dint_nq = len(QUERY_SET)
+    return df
 
 
 def queries_sql_values() -> str:

@@ -192,3 +192,34 @@ def test_ef_enumerator_prev_value():
         assert en.prev_value(n) == int(ref[-1])
         with pytest.raises(IndexError):
             en.prev_value(n + 1)
+
+
+def test_ef_rejects_values_beyond_u32():
+    """r5 ADVICE (medium): values ≥ 2^32 silently wrapped through the
+    u32 decode dtype ([1, 2^33] → [1, 0]). encode must refuse loudly."""
+    with pytest.raises(ValueError, match="u32 wire domain"):
+        ef.encode(np.array([1, 2 ** 33], dtype=np.uint64))
+    # the full u32 domain itself stays valid (universe == 2^32)
+    v = np.array([1, 2 ** 32 - 1], dtype=np.uint64)
+    out = ef.decode(ef.encode(v, universe=2 ** 32), 2)
+    assert out.astype(np.int64).tolist() == [1, 2 ** 32 - 1]
+
+
+def test_strict_ef_rejects_beyond_u32():
+    from dint_spark.codecs.partitioned_ef import strict_ef_encode
+
+    with pytest.raises(ValueError, match="u32 wire domain"):
+        strict_ef_encode(
+            np.array([0, 2 ** 33], dtype=np.uint64), 2 ** 33 + 1
+        )
+
+
+def test_pef_adapter_rejects_overflowing_prefix_sums():
+    """registry._pef_mono prefix sums can exceed 2^32 for valid u32
+    inputs — must now fail loudly instead of corrupting (r5 ADVICE)."""
+    codec = get_codec("pef_uniform")
+    vals = np.array([2 ** 31, 2 ** 31, 2 ** 31], dtype=np.uint64).astype(
+        np.uint32
+    )
+    with pytest.raises(ValueError, match="u32 wire domain"):
+        codec.encode_docs(vals)

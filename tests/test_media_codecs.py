@@ -148,3 +148,16 @@ class TestSparkDecodeOps:
 
         with pytest.raises(Exception, match="codec library"):
             decode_image(synth_media(tiny_docs)).collect()
+
+class TestWavTruncation:
+    def test_truncated_data_chunk_raises(self):
+        """r5 ADVICE (low): a data chunk whose declared size exceeds the
+        available bytes yielded a silently short sample array."""
+        buf = mc.wav_encode(np.arange(64, dtype=np.int16))
+        with pytest.raises(ValueError, match="truncated WAV"):
+            mc.wav_decode(buf[:-10])
+
+    def test_intact_roundtrip_still_ok(self):
+        s = np.arange(-5, 5, dtype=np.int16)
+        out, rate = mc.wav_decode(mc.wav_encode(s, rate=8000))
+        assert rate == 8000 and out.tolist() == s.tolist()
