@@ -66,6 +66,54 @@ def cpu_ceiling() -> dict:
     return out
 
 
+def _memcpy(n_bytes: int) -> float:
+    """One worker: repeatedly memcpy a buffer, return GB/s."""
+    import numpy as np
+
+    src = np.ones(n_bytes, dtype=np.uint8)
+    dst = np.empty_like(src)
+    reps, t0 = 0, time.perf_counter()
+    while True:
+        np.copyto(dst, src)
+        reps += 1
+        dt = time.perf_counter() - t0
+        if dt > 1.0 and reps >= 4:
+            return reps * n_bytes / dt / 1e9
+
+
+def mem_ceiling(samples: int = 3, n_bytes: int = 256 * 1024 * 1024) -> dict:
+    """N-process aggregate memcpy bandwidth at both levels — the DRAM
+    ceiling the WAND kernel phase runs against (r5 VERDICT #1: commit
+    the microbench as a machine-readable artifact; BASELINE.md's
+    contention anatomy showed the 8-process aggregate swinging 16-144
+    GB/s across runs on this co-tenant host while the ALU loop held
+    0.96). ALL samples are recorded, not just the best — the spread IS
+    the evidence."""
+    out: dict = {}
+    for np_ in LEVELS:
+        vals = []
+        for _ in range(samples):
+            with mp.Pool(np_) as p:
+                per_proc = p.map(_memcpy, [n_bytes] * np_)
+            vals.append(round(sum(per_proc), 1))
+        out[str(np_)] = {"aggregate_GBps_samples": vals,
+                         "median_GBps": sorted(vals)[len(vals) // 2]}
+    out["efficiency"] = round(
+        out[str(LEVELS[1])]["median_GBps"]
+        / out[str(LEVELS[0])]["median_GBps"]
+        / (LEVELS[1] / LEVELS[0]),
+        3,
+    )
+    return out
+
+
+def _load1m() -> "float | None":
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
 def run_job(script: str, cpus: int, args: list[str], timeout: int = 3000) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
@@ -134,7 +182,9 @@ def main() -> None:
         "levels": [f"local[{n}]" for n in LEVELS],
         "docs": args.docs,
         "queries": args.queries,
+        "host_load_1m_start": _load1m(),
         "cpu_ceiling_Mops": cpu_ceiling(),
+        "mem_ceiling_GBps": mem_ceiling(),
     }
 
     shared_idx = os.path.join(args.workdir, "shared_index")
@@ -263,6 +313,59 @@ def main() -> None:
         results["wand_saturated_queries"] = args.saturation
         results["wand_saturated_speedup"] = round(s, 3)
         results["wand_saturated_efficiency"] = round(s / 4.0, 3)
+
+    # north-rule adjudication block (r5 VERDICT #1): ≥0.8 on a committed
+    # row, OR the workload pinned at the SAME-WINDOW measured DRAM
+    # ceiling. The memcpy samples above are that simultaneous
+    # measurement; the flag is keyed on them and on start load.
+    load_end = _load1m()
+    mem_eff = results["mem_ceiling_GBps"]["efficiency"]
+    kern = results.get("wand_kernel_efficiency")
+    sat = results.get("wand_saturated_efficiency")
+    best = max(x for x in (kern, sat, results.get("query_efficiency"), 0.0)
+               if x is not None)
+    results["host_load_1m_end"] = load_end
+    results["north_rule"] = {
+        "target": 0.8,
+        "kernel_marginal_efficiency": kern,
+        "saturated_efficiency": sat,
+        "query_efficiency": results.get("query_efficiency"),
+        "mem_ceiling_efficiency": mem_eff,
+        "passes_directly": best >= 0.8,
+        # the workload cannot out-scale the machine's own DRAM scaling;
+        # within 0.05 of the same-window memcpy efficiency = pinned
+        "pinned_at_mem_ceiling": mem_eff is not None
+        and best >= mem_eff - 0.05,
+        "noise_suspect": (results.get("host_load_1m_start") or 0) > 2.0,
+    }
+    results["north_rule"]["valid"] = bool(
+        results["north_rule"]["passes_directly"]
+        or results["north_rule"]["pinned_at_mem_ceiling"]
+    )
+
+    # route_constants.json — the router's measurement artifact
+    # (operators/router.py route_constants; r5 VERDICT #3): the same
+    # two-batch-size separation that calibrated the literals, re-derived
+    # from THIS run's numbers on THIS machine.
+    kq = results[hi].get("wand_marginal_qps")
+    rc: dict = {"derived_from": "BENCH/run_scaling.py",
+                "level": hi, "docs": args.docs}
+    if kq:
+        rc["kernel_qps"] = kq
+        fixed = sorted(
+            p["small_sec"] - wand_small / kq
+            for p in results[hi]["wand_marginal_pairs"]
+        )
+        rc["cog_fixed_sec"] = round(
+            max(0.1, fixed[len(fixed) // 2]), 3
+        )
+    q8 = results[hi]["query"]
+    if q8.get("scored_rows") and q8.get("wall_sec"):
+        rc["rel_rows_per_sec"] = round(q8["scored_rows"] / q8["wall_sec"], 1)
+    if "kernel_qps" in rc and "rel_rows_per_sec" in rc:
+        with open(os.path.join(REPO, "BENCH", "route_constants.json"), "w") as f:
+            json.dump(rc, f, indent=2, sort_keys=True)
+        results["route_constants"] = rc
 
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(results, f, indent=2, sort_keys=True)
@@ -410,9 +513,13 @@ total 580 vs est 793 — under, because dead-pair removal deletes
 exactly the cells the generic estimate counts as unavoidable landings,
 and wholesale candidate θ-skips do the rest). The cuts subplan is ~3
 extra tiny-shuffle stages with a FIXED ~1s cost at local[32], so it
-auto-enables at ≥ PREFILTER_MIN_BATCH (64) queries; the artifact join
-has no such floor and is always on when the artifact is supplied
-(engine.get_shard_bmw — the serving default).
+auto-enables at ≥ PREFILTER_MIN_BATCH (64) queries. Round 6: the
+artifact join no longer runs per batch at all — the shard explode +
+shard_block_max refinement are pre-joined ONCE into a materialized
+sharded block index (engine.get_sharded_blocks, the serving default),
+so the block payload crosses exactly ONE exchange per batch (the
+cogroup shuffle); the per-batch SortMergeJoin that re-shuffled the
+payload a second time is gone (guide §8: heavy bytes move once).
 On the 5.4M-posting scaling corpus at local[8] (fresh r4,
 best-of-runs): at 500 queries ranked_or does 55.8 q/s vs wand 27.1 —
 the cogroup's fixed stages dominate small batches. At 2,000 queries the

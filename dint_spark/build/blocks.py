@@ -202,7 +202,8 @@ def build_block_index(
         postings, block_size
     )
     spark = postings.sparkSession
-    codec_bc = spark.sparkContext.broadcast(codec)
+    from dint_spark.util import memo_broadcast
+    codec_bc = memo_broadcast(spark, codec)
     mw = meta.select("term_id", "block_id", "n", "block_max", "block_max_weight")
 
     def encode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -272,7 +273,8 @@ def decode_block_index(
     """
 
     spark = index.sparkSession
-    codec_bc = spark.sparkContext.broadcast(codec)
+    from dint_spark.util import memo_broadcast
+    codec_bc = memo_broadcast(spark, codec)
     extra_names = [n for n, _ in extra_cols]
 
     def decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -342,8 +344,9 @@ def transcode_block_index(index: DataFrame, src_codec, dst_codec) -> DataFrame:
     point of the reference's block-level transcode).
     """
     spark = index.sparkSession
-    src_bc = spark.sparkContext.broadcast(src_codec)
-    dst_bc = spark.sparkContext.broadcast(dst_codec)
+    from dint_spark.util import memo_broadcast
+    src_bc = memo_broadcast(spark, src_codec)
+    dst_bc = memo_broadcast(spark, dst_codec)
 
     def transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         s, d = src_bc.value, dst_bc.value

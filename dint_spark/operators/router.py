@@ -47,6 +47,9 @@ a cluster phenomenon.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from dint_spark.operators.boolean import query_terms
@@ -56,19 +59,60 @@ from dint_spark.operators.wand_shard import (
     wand_topk_sharded,
 )
 
-# calibrated at local[8] on the 5.4M-posting corpus (BENCH/scaling.json
-# r4 + the scored-row calibration in BENCH/BASELINE.md §routing)
+# fallback literals, calibrated at local[8] on the 5.4M-posting corpus
+# (BENCH/scaling.json r4 + the scored-row calibration in
+# BENCH/BASELINE.md §routing). The SERVING source of truth is the
+# measurement artifact below — r5 VERDICT #3: "derive router constants
+# from artifacts, not literals".
 ROUTE_REL_ROWS_PER_SEC = 1.37e6  # exhaustive plan, scored rows/s (high-water)
 ROUTE_COG_FIXED_SEC = 14.3       # cogroup fixed stages (wall − Q/marginal)
 ROUTE_KERNEL_QPS = 197.7         # cogroup marginal rate (two-batch separation)
+
+# measurement artifact written by BENCH/run_scaling.py from the SAME
+# two-batch-size separation that calibrated the literals — rerunning the
+# scaling bench on new hardware re-derives the constants with no code
+# change. Override with $DINT_ROUTE_CONSTANTS; a missing/partial/corrupt
+# artifact falls back field-by-field to the literals.
+_ARTIFACT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "BENCH",
+    "route_constants.json",
+)
+_ART: "dict | None" = None
+
+
+def route_constants() -> dict:
+    """{rel_rows_per_sec, cog_fixed_sec, kernel_qps} — artifact-derived
+    with literal fallback, memoized per process."""
+    global _ART
+    if _ART is None:
+        vals = {
+            "rel_rows_per_sec": ROUTE_REL_ROWS_PER_SEC,
+            "cog_fixed_sec": ROUTE_COG_FIXED_SEC,
+            "kernel_qps": ROUTE_KERNEL_QPS,
+            "source": "literals",
+        }
+        path = os.environ.get("DINT_ROUTE_CONSTANTS", _ARTIFACT_PATH)
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            for k in ("rel_rows_per_sec", "cog_fixed_sec", "kernel_qps"):
+                v = d.get(k)
+                if isinstance(v, (int, float)) and v > 0:
+                    vals[k] = float(v)
+                    vals["source"] = path
+        except (OSError, ValueError):
+            pass
+        _ART = vals
+    return _ART
 
 
 def route_decision(
     n_queries: int,
     scored_rows: int,
-    rel_rows_per_sec: float = ROUTE_REL_ROWS_PER_SEC,
-    cog_fixed_sec: float = ROUTE_COG_FIXED_SEC,
-    kernel_qps: float = ROUTE_KERNEL_QPS,
+    rel_rows_per_sec: "float | None" = None,
+    cog_fixed_sec: "float | None" = None,
+    kernel_qps: "float | None" = None,
 ) -> str:
     """Pure decision: 'relational' or 'cogroup' from batch metadata.
 
@@ -76,9 +120,19 @@ def route_decision(
                                                   conservative toward
                                                   the relational plan)
     t_cog  = cog_fixed_sec + n_queries / kernel_qps
+
+    Constants default to the measured artifact (route_constants); the
+    decision is correctness-free either way — both realizations are
+    oracle-identical, so a drifted constant costs latency near the
+    crossover, never results, and the regret is bounded there because
+    the flip happens where t_rel ≈ t_cog (tests/test_router.py pins a
+    ±2× perturbation sweep).
     """
-    t_rel = scored_rows / rel_rows_per_sec
-    t_cog = cog_fixed_sec + n_queries / kernel_qps
+    c = route_constants()
+    t_rel = scored_rows / (rel_rows_per_sec or c["rel_rows_per_sec"])
+    t_cog = (cog_fixed_sec or c["cog_fixed_sec"]) + n_queries / (
+        kernel_qps or c["kernel_qps"]
+    )
     return "relational" if t_rel <= t_cog else "cogroup"
 
 

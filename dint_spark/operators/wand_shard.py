@@ -1231,21 +1231,10 @@ def _resolve_norms(idx, norms, universe):
 
 
 def _codec_broadcast(spark, codec):
-    """Memoized sc.broadcast(codec). The codec object (including the
-    DINT dictionary model, MB-class) was re-pickled and re-shipped on
-    EVERY serve call — a fixed per-query cost for a per-index artifact.
-    Keyed by (context, codec) identity with the codec strongly
-    referenced so a recycled id() can never alias."""
-    key = (id(spark.sparkContext), id(codec))
-    hit = _CODEC_BC_CACHE.get(key)
-    if hit is not None and hit[0] is codec:
-        return hit[1]
-    bc = spark.sparkContext.broadcast(codec)
-    _CODEC_BC_CACHE[key] = (codec, bc)
-    return bc
+    """Memoized sc.broadcast(codec) — see util.memo_broadcast."""
+    from dint_spark.util import memo_broadcast
 
-
-_CODEC_BC_CACHE: dict = {}
+    return memo_broadcast(spark, codec)
 
 
 def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,

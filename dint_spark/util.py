@@ -23,3 +23,22 @@ def materialize(df: DataFrame) -> DataFrame:
     writes parquet between stages).
     """
     return df.localCheckpoint(eager=True)
+
+
+_BC_CACHE: dict = {}
+
+
+def memo_broadcast(spark, obj):
+    """Memoized sc.broadcast(obj) keyed on (context, object) identity.
+
+    Codec objects (with their dictionary models, MB-class for DINT)
+    were re-pickled and re-shipped on every decode/serve call — a fixed
+    per-call cost for a per-index artifact. The object is strongly
+    referenced so a recycled id() can never alias a dead key."""
+    key = (id(spark.sparkContext), id(obj))
+    hit = _BC_CACHE.get(key)
+    if hit is not None and hit[0] is obj:
+        return hit[1]
+    bc = spark.sparkContext.broadcast(obj)
+    _BC_CACHE[key] = (obj, bc)
+    return bc

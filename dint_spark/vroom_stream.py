@@ -77,7 +77,8 @@ def encode_vroom_stream(
     per-list record the vroom encode job emits (encode.cpp:110-111).
     """
     spark = postings.sparkSession
-    codec_bc = spark.sparkContext.broadcast(codec)
+    from dint_spark.util import memo_broadcast
+    codec_bc = memo_broadcast(spark, codec)
     enc_name = "encode_docs" if stream == "docs" else "encode_freqs"
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
@@ -115,7 +116,8 @@ def decode_vroom_stream(
     20-120): headers parse first, payload decodes to exactly n values,
     and the gap chain prefix-sums back to docIDs."""
     spark = stream_df.sparkSession
-    codec_bc = spark.sparkContext.broadcast(codec)
+    from dint_spark.util import memo_broadcast
+    codec_bc = memo_broadcast(spark, codec)
     dec_name = "decode_docs" if stream == "docs" else "decode_freqs"
     out_schema = (
         "term_id long, pos long, doc_id long"

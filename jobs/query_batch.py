@@ -27,7 +27,7 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from pyspark.sql import SparkSession, functions as F
 
     spark = SparkSession.getActiveSession()
     if spark is None:
@@ -53,9 +53,16 @@ def main() -> None:
     )
 
     qlog = make_query_log(args.queries, seed=args.seed)
+    # few, right-sized slices (not defaultParallelism) + batch-size
+    # metadata: the serving layout queryset.queries_df uses
     qdf = spark.createDataFrame(
-        [(qid, terms) for qid, terms in qlog], "query_id long, terms array<string>"
+        spark.sparkContext.parallelize(
+            [(qid, terms) for qid, terms in qlog],
+            max(1, len(qlog) // 4096),
+        ),
+        "query_id long, terms array<string>",
     )
+    qdf._dint_nq = len(qlog)
 
     def run():
         if args.op == "ranked_or":
@@ -89,6 +96,7 @@ def main() -> None:
                 maxscore_topk_sharded,
                 norm_slices,
                 shard_block_max,
+                sharded_block_index,
                 static_layout,
                 wand_topk_sharded,
             )
@@ -97,23 +105,31 @@ def main() -> None:
             # layout): pack once per process and reuse across the batch
             # runs — the serving shape (engine.get_norm_slices /
             # get_shard_bmw); no driver-side per-doc collect anywhere
-            global _SLICES, _UNIVERSE, _SBMW
+            global _SLICES, _UNIVERSE, _SHARDED
             if "_SLICES" not in globals():
                 _UNIVERSE = int(docs.agg(F.max("doc_id")).first()[0]) + 1
                 _nsh, ss = static_layout(_UNIVERSE)
                 _SLICES = materialize(
                     norm_slices(docs.select("doc_id", "norm_len"), ss)
                 )
-                _SBMW = materialize(
-                    shard_block_max(
-                        postings.select("term_id", "doc_id", "tf", "norm_len"),
-                        ss,
+                # pre-sharded block artifact (engine.get_sharded_blocks
+                # shape): the shard explode + shard_block_max refinement
+                # happen ONCE per index, not per batch
+                _SHARDED = materialize(
+                    sharded_block_index(
+                        bidx, ss,
+                        shard_block_max(
+                            postings.select(
+                                "term_id", "doc_id", "tf", "norm_len"
+                            ),
+                            ss,
+                        ),
                     )
                 )
             fn = wand_topk_sharded if args.op == "wand" else maxscore_topk_sharded
             return fn(
                 idx, bidx, codec, qdf, num_docs, _SLICES, k=args.k,
-                universe=_UNIVERSE, shard_bmw=_SBMW,
+                universe=_UNIVERSE, sharded_bidx=_SHARDED,
             ).count()
         if args.op == "and":
             return and_query(postings, qdf).count()
@@ -126,18 +142,27 @@ def main() -> None:
     for _ in range(args.repeats):
         n = run()
     wall = (time.perf_counter() - t0) / args.repeats
-    print(
-        json.dumps(
-            {
-                "op": args.op,
-                "queries": args.queries,
-                "k": args.k,
-                "rows": n,
-                "wall_sec": round(wall, 3),
-                "qps": round(args.queries / wall, 2),
-            }
+    out = {
+        "op": args.op,
+        "queries": args.queries,
+        "k": args.k,
+        "rows": n,
+        "wall_sec": round(wall, 3),
+        "qps": round(args.queries / wall, 2),
+    }
+    if args.op == "ranked_or":
+        # batch scored-row total Σ_q Σ_t df(t) — the router's cost-model
+        # input (operators/router.py); one tiny metadata agg, untimed
+        from dint_spark.operators.boolean import query_terms
+
+        sr = (
+            query_terms(qdf, dedup=True)
+            .join(F.broadcast(vocab.select("term", "df")), "term")
+            .agg(F.sum("df"))
+            .first()[0]
         )
-    )
+        out["scored_rows"] = int(sr or 0)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -77,3 +77,60 @@ def test_topk_auto_maxscore_route(spark, zipf_setup):  # noqa: F811
                   algo="maxscore", force="cogroup")
     )
     assert got == ref
+
+
+def test_route_constants_artifact_loading(tmp_path, monkeypatch):
+    """r5 VERDICT #3: constants flow from a measurement artifact when
+    present, fall back to the calibrated literals when absent/corrupt."""
+    import json
+
+    import dint_spark.operators.router as R
+
+    # absent → literals
+    monkeypatch.setenv("DINT_ROUTE_CONSTANTS", str(tmp_path / "nope.json"))
+    monkeypatch.setattr(R, "_ART", None)
+    c = R.route_constants()
+    assert c["kernel_qps"] == R.ROUTE_KERNEL_QPS
+    assert c["source"] == "literals"
+
+    # present → artifact values win
+    art = tmp_path / "rc.json"
+    art.write_text(json.dumps(
+        {"kernel_qps": 400.0, "cog_fixed_sec": 5.0,
+         "rel_rows_per_sec": 2.0e6}
+    ))
+    monkeypatch.setenv("DINT_ROUTE_CONSTANTS", str(art))
+    monkeypatch.setattr(R, "_ART", None)
+    c = R.route_constants()
+    assert c["kernel_qps"] == 400.0 and c["cog_fixed_sec"] == 5.0
+
+    # corrupt / partial → field-by-field fallback
+    art.write_text(json.dumps({"kernel_qps": -1, "cog_fixed_sec": "x"}))
+    monkeypatch.setattr(R, "_ART", None)
+    c = R.route_constants()
+    assert c["kernel_qps"] == R.ROUTE_KERNEL_QPS
+    monkeypatch.setattr(R, "_ART", None)
+
+
+def test_route_decision_perturbed_constants_bounded_regret(monkeypatch):
+    """Perturbing each constant ±2× may flip the decision ONLY where the
+    measured walls are within ~2.2× of each other — i.e. any misroute a
+    drifted constant can cause near the crossover costs a bounded factor,
+    never the 4× inversion the router exists to avoid."""
+    import dint_spark.operators.router as R
+
+    monkeypatch.setenv("DINT_ROUTE_CONSTANTS", "/nonexistent")
+    monkeypatch.setattr(R, "_ART", None)
+    for nq, scored, t_rel, t_cog, want in MEASURED:
+        worst = max(t_rel, t_cog) / min(t_rel, t_cog)
+        for f in (0.5, 1.0, 2.0):
+            got = R.route_decision(
+                nq, scored,
+                rel_rows_per_sec=R.ROUTE_REL_ROWS_PER_SEC * f,
+                cog_fixed_sec=R.ROUTE_COG_FIXED_SEC / f,
+                kernel_qps=R.ROUTE_KERNEL_QPS * f,
+            )
+            if got != want:
+                # a flip is tolerable only when the real walls are close
+                assert worst <= 2.2, (nq, f, got, want, worst)
+    monkeypatch.setattr(R, "_ART", None)
