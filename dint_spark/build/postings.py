@@ -54,11 +54,23 @@ class FullTextIndex:
     avgdl: float
 
 
-def build_docs(tokens: DataFrame) -> DataFrame:
-    """docs(doc_id, doc_len, norm_len); norm_len = len/avg (wand_data.hpp:21-32)."""
+def build_docs(tokens: DataFrame) -> "tuple[DataFrame, int, float]":
+    """(docs(doc_id, doc_len, norm_len), num_docs, avgdl);
+    norm_len = len/avg (wand_data.hpp:21-32).
+
+    num_docs and avgdl come from ONE scalar aggregate over the doc_len
+    frame — the old shape ran three separate driver actions (avg here,
+    then count + avg again in build_fulltext_index), each a full
+    aggregation job over the token stream."""
     doc_len = tokens.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-    avgdl = doc_len.agg(F.avg("doc_len")).first()[0]
-    return doc_len.withColumn("norm_len", F.col("doc_len").cast("double") / F.lit(float(avgdl)))
+    row = doc_len.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avg")
+    ).first()
+    num_docs, avgdl = int(row["n"]), float(row["avg"] or 0.0)
+    docs = doc_len.withColumn(
+        "norm_len", F.col("doc_len").cast("double") / F.lit(avgdl)
+    )
+    return docs, num_docs, avgdl
 
 
 def build_postings_raw(tokens: DataFrame) -> DataFrame:
@@ -157,11 +169,9 @@ def build_fulltext_index(
     (tests/test_postings.py asserts it), so query results and oracle
     hashes are unchanged by the flag.
     """
-    docs = build_docs(tokens)
+    docs, num_docs, avgdl = build_docs(tokens)
     if cache:
         docs = materialize(docs)
-    num_docs = docs.count()
-    avgdl = docs.agg(F.avg("doc_len")).first()[0]
 
     raw = build_postings_raw(tokens)
     vocab = build_vocab(raw, scalable=scalable_vocab)
