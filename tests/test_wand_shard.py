@@ -530,3 +530,45 @@ def test_shard_bmw_drops_dead_pairs_and_bytes(spark, zipf_setup):
     )
     assert on["shuffled_block_rows"] < off["shuffled_block_rows"]
     assert on["shuffled_payload_bytes"] < off["shuffled_payload_bytes"]
+
+
+def test_presharded_artifact_equals_perbatch_join(spark, zipf_setup):
+    """r6 optimization guard: the pre-sharded block index
+    (sharded_block_index materialized once — engine.get_sharded_blocks
+    serving shape) must produce results identical to the r5 per-batch
+    shard_bmw join AND to no artifact at all; the refinement is
+    lossless wherever it is computed."""
+    from dint_spark.operators.ranked import ranked_or
+    from dint_spark.operators.wand_shard import (
+        maxscore_topk_sharded,
+        norm_slices,
+        shard_block_max,
+        sharded_block_index,
+        static_layout,
+        wand_topk_sharded,
+    )
+    from dint_spark.util import materialize
+
+    idx, bidx, codec, _norms = zipf_setup
+    q = _zipf_queries(spark)
+    universe = int(idx.docs.agg({"doc_id": "max"}).first()[0]) + 1
+    _nsh, ss = static_layout(universe)
+    slices = materialize(
+        norm_slices(idx.docs.select("doc_id", "norm_len"), ss)
+    )
+    sbmw = materialize(
+        shard_block_max(
+            idx.postings.select("term_id", "doc_id", "tf", "norm_len"), ss
+        )
+    )
+    sharded = materialize(sharded_block_index(bidx, ss, sbmw))
+
+    ref = _ranks(ranked_or(idx.postings, q, idx.vocab, idx.num_docs))
+    for fn in (wand_topk_sharded, maxscore_topk_sharded):
+        pre = _ranks(fn(idx, bidx, codec, q, idx.num_docs, slices,
+                        universe=universe, sharded_bidx=sharded))
+        per = _ranks(fn(idx, bidx, codec, q, idx.num_docs, slices,
+                        universe=universe, shard_bmw=sbmw))
+        none = _ranks(fn(idx, bidx, codec, q, idx.num_docs, slices,
+                         universe=universe))
+        assert pre == per == none == ref, fn.__name__
