@@ -78,7 +78,11 @@ def build_postings_raw(tokens: DataFrame) -> DataFrame:
     return tokens.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
 
 
-def build_vocab(postings_raw: DataFrame, scalable: bool = True) -> DataFrame:
+def build_vocab(
+    postings_raw: DataFrame,
+    scalable: bool = True,
+    num_partitions: "int | None" = None,
+) -> DataFrame:
     """vocab(term, term_id, df); term_id = lexicographic dense rank.
 
     scalable=True (the DEFAULT — a code corpus has O(N) distinct
@@ -86,10 +90,18 @@ def build_vocab(postings_raw: DataFrame, scalable: bool = True) -> DataFrame:
     scale) uses the two-level prefix-sum assigner (docids.dense_ids);
     False uses a plain window rank — exact same ids, kept for
     small-fixture debugging.
+
+    num_partitions: range-partition count for the assigner. Callers
+    that know the corpus size should pass a data-derived value —
+    dense_ids' defaultParallelism default measured 4.3 s vs 0.8 s at 1
+    partition for a 31-term vocab (32 near-empty range slices, each a
+    Python-worker task).
     """
     df_per_term = postings_raw.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     if scalable:
-        return dense_ids(df_per_term, ["term"], "term_id").select("term", "term_id", "df")
+        return dense_ids(
+            df_per_term, ["term"], "term_id", num_partitions=num_partitions
+        ).select("term", "term_id", "df")
     from pyspark.sql import Window as W
 
     w = W.orderBy("term")
@@ -174,7 +186,20 @@ def build_fulltext_index(
         docs = materialize(docs)
 
     raw = build_postings_raw(tokens)
-    vocab = build_vocab(raw, scalable=scalable_vocab)
+    # Scale-adaptive assigner layout: distinct terms ≤ total tokens =
+    # num_docs·avgdl, targeted at ~4M terms per range partition (the
+    # same density the materialized right-sizing below uses), capped at
+    # the session parallelism. Derived from corpus stats already in
+    # hand — NOT from the cluster size alone, so a tiny corpus stops
+    # paying a defaultParallelism-wide Python-worker fan-out (measured
+    # 4.3 s → 0.8 s for the sf0.1 vocab) while a 10^9-doc corpus still
+    # spreads across every core.
+    est_tokens = max(1, int(num_docs * avgdl))
+    nparts = max(1, min(
+        tokens.sparkSession.sparkContext.defaultParallelism,
+        -(-est_tokens // (1 << 22)),
+    ))
+    vocab = build_vocab(raw, scalable=scalable_vocab, num_partitions=nparts)
     if cache:
         vocab = materialize(vocab)
         # Right-size the materialized layout: dense_ids range-partitions
