@@ -62,7 +62,7 @@ from dint_spark.operators.wand_shard import (
 # fallback literals, calibrated at local[8] on the 5.4M-posting corpus
 # (BENCH/scaling.json r4 + the scored-row calibration in
 # BENCH/BASELINE.md §routing). The SERVING source of truth is the
-# measurement artifact below — r5 VERDICT #3: "derive router constants
+# measurement artifact below — r5 VERDICT ask #5: "derive router constants
 # from artifacts, not literals".
 ROUTE_REL_ROWS_PER_SEC = 1.37e6  # exhaustive plan, scored rows/s (high-water)
 ROUTE_COG_FIXED_SEC = 14.3       # cogroup fixed stages (wall − Q/marginal)
