@@ -223,6 +223,28 @@ def main() -> None:
             if best is None or r["qps"] > best["qps"]:
                 best = r
         lvl["query"] = best
+        # big-batch ranked_or pair: the relational SCORED-ROW rate for
+        # the router artifact must be derived the same way as the
+        # cogroup arm's kernel rate — by two-batch differencing that
+        # cancels per-job fixed stages. An end-to-end rows/wall at one
+        # batch size under-states the rate by the fixed-stage fraction
+        # and would bias route_decision toward the cogroup plan.
+        best_big = None
+        for _ in range(2):
+            r = run_job(
+                "jobs/query_batch.py", cpus,
+                ["--index", shared_idx, "--op", "ranked_or",
+                 "--queries", str(wand_big), "--repeats", "1"],
+                timeout=6000,
+            )
+            if best_big is None or r["qps"] > best_big["qps"]:
+                best_big = r
+        lvl["query_big"] = best_big
+        dr = best_big["scored_rows"] - best["scored_rows"]
+        dt = best_big["wall_sec"] - best["wall_sec"]
+        lvl["query_marginal_rows_per_sec"] = (
+            round(dr / dt, 1) if dt > 0.2 and dr > 0 else None
+        )
         # the two batch sizes run back-to-back as PAIRS (small_i, big_i)
         # so each marginal difference comes from one run window — best-of
         # picked from independent runs on this co-tenant-noisy host once
@@ -315,11 +337,18 @@ def main() -> None:
         results["wand_saturated_efficiency"] = round(s / 4.0, 3)
 
     # north-rule adjudication block (r5 VERDICT #1): ≥0.8 on a committed
-    # row, OR the workload pinned at the SAME-WINDOW measured DRAM
-    # ceiling. The memcpy samples above are that simultaneous
-    # measurement; the flag is keyed on them and on start load.
+    # row, OR the workload pinned at the measured DRAM ceiling. The
+    # memcpy microbench runs TWICE — before the workloads and again
+    # here, after them — because this host's aggregate bandwidth swings
+    # across minutes; the pinning claim uses the HIGHER (more
+    # conservative) of the two bracketing efficiencies, so a contended
+    # start window can never manufacture a pinned=true verdict.
+    results["mem_ceiling_GBps_end"] = mem_ceiling()
     load_end = _load1m()
-    mem_eff = results["mem_ceiling_GBps"]["efficiency"]
+    mem_eff = max(
+        results["mem_ceiling_GBps"]["efficiency"],
+        results["mem_ceiling_GBps_end"]["efficiency"],
+    )
     kern = results.get("wand_kernel_efficiency")
     sat = results.get("wand_saturated_efficiency")
     best = max(x for x in (kern, sat, results.get("query_efficiency"), 0.0)
@@ -333,7 +362,8 @@ def main() -> None:
         "mem_ceiling_efficiency": mem_eff,
         "passes_directly": best >= 0.8,
         # the workload cannot out-scale the machine's own DRAM scaling;
-        # within 0.05 of the same-window memcpy efficiency = pinned
+        # within 0.05 of the bracketing memcpy efficiency (max of the
+        # pre/post windows — conservative) = pinned
         "pinned_at_mem_ceiling": mem_eff is not None
         and best >= mem_eff - 0.05,
         "noise_suspect": (results.get("host_load_1m_start") or 0) > 2.0,
@@ -360,8 +390,18 @@ def main() -> None:
             max(0.1, fixed[len(fixed) // 2]), 3
         )
     q8 = results[hi]["query"]
-    if q8.get("scored_rows") and q8.get("wall_sec"):
+    marg = results[hi].get("query_marginal_rows_per_sec")
+    if marg:
+        rc["rel_rows_per_sec"] = marg
+        rc["rel_rows_per_sec_derivation"] = "two-batch marginal"
+    elif q8.get("scored_rows") and q8.get("wall_sec"):
+        # fallback: end-to-end rate (includes fixed stages — understates)
         rc["rel_rows_per_sec"] = round(q8["scored_rows"] / q8["wall_sec"], 1)
+        rc["rel_rows_per_sec_derivation"] = "end-to-end fallback"
+    if q8.get("scored_rows") and q8.get("wall_sec"):
+        rc["rel_rows_per_sec_endtoend"] = round(
+            q8["scored_rows"] / q8["wall_sec"], 1
+        )
     if "kernel_qps" in rc and "rel_rows_per_sec" in rc:
         with open(os.path.join(REPO, "BENCH", "route_constants.json"), "w") as f:
             json.dump(rc, f, indent=2, sort_keys=True)
@@ -436,6 +476,23 @@ cluster each executor owns its own memory channels, which is why the
 kernel-phase marginal row is the 100×-predictive number (r4
 quiet-window: 0.953; noisier windows put the pair-median at ~0.61 with
 per-pair rates spanning 129-349 q/s — same DRAM story).
+
+**North-rule adjudication (this run, machine-readable in
+scaling.json `north_rule`):** query row {results['query_efficiency']}
+(≥0.8 passes directly when true), WAND kernel-marginal
+{results['wand_kernel_efficiency']}, saturated
+{results.get('wand_saturated_efficiency', 'n/a')}; bracketing memcpy
+DRAM-ceiling efficiencies {results['mem_ceiling_GBps']['efficiency']}
+(pre) / {results['mem_ceiling_GBps_end']['efficiency']} (post) with all
+aggregate samples committed, ALU ceiling {cc['efficiency']};
+passes_directly={results['north_rule']['passes_directly']},
+pinned_at_mem_ceiling={results['north_rule']['pinned_at_mem_ceiling']}
+(keyed on the HIGHER bracketing window — conservative),
+valid={results['north_rule']['valid']},
+noise_suspect={results['north_rule']['noise_suspect']}. A
+memory-traffic-bound kernel cannot out-scale the memory subsystem it
+runs on; rows between the DRAM floor and the ALU ceiling are where a
+mixed ALU/bandwidth workload must land.
 
 Compression (learned dictionaries, this corpus): docs {bi['docs_bpi']}
 bits/int, freqs {bi['freqs_bpi']} bits/int — reference README.md:110-115

@@ -78,7 +78,11 @@ def encode(values: np.ndarray, universe: int | None = None) -> bytes:
     if pad:
         upper_bits = np.concatenate([upper_bits, np.zeros(pad, dtype=np.uint8)])
     upper = np.packbits(upper_bits.reshape(-1, 8)[:, ::-1], axis=1).reshape(-1)
-    header = np.array([n, u], dtype=np.uint32).tobytes()
+    # u == 2^32 (full-u32 domain) does not fit the u32 header slot; the
+    # stored universe is never read back (decode/enumerator use the
+    # bitvector), so mask explicitly — numpy 1.x wrapped silently,
+    # numpy >= 2 would raise OverflowError on the blessed boundary case
+    header = np.array([n, u & 0xFFFFFFFF], dtype=np.uint32).tobytes()
     return header + np.uint8(l).tobytes() + low.tobytes() + upper.tobytes()
 
 

@@ -129,10 +129,14 @@ def route_decision(
     ±2× perturbation sweep).
     """
     c = route_constants()
-    t_rel = scored_rows / (rel_rows_per_sec or c["rel_rows_per_sec"])
-    t_cog = (cog_fixed_sec or c["cog_fixed_sec"]) + n_queries / (
-        kernel_qps or c["kernel_qps"]
-    )
+    if rel_rows_per_sec is None:
+        rel_rows_per_sec = c["rel_rows_per_sec"]
+    if cog_fixed_sec is None:
+        cog_fixed_sec = c["cog_fixed_sec"]
+    if kernel_qps is None:
+        kernel_qps = c["kernel_qps"]
+    t_rel = scored_rows / rel_rows_per_sec
+    t_cog = cog_fixed_sec + n_queries / kernel_qps
     return "relational" if t_rel <= t_cog else "cogroup"
 
 

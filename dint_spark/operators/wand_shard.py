@@ -1264,9 +1264,17 @@ def _run(idx, bidx, codec, queries, num_docs, norms, k, num_shards, algo,
     seed_df = (
         _exact_seed_df(idx, bidx, codec, qt_full, k) if k > TOPK_BOUND_K else None
     )
+    if sharded_bidx is not None and num_shards is not None:
+        # the pre-sharded artifact is built for the index's STATIC
+        # layout; silently ignoring it under a custom layout would make
+        # every batch re-pay the join the artifact exists to avoid
+        raise ValueError(
+            "sharded_bidx is pre-exploded for the static layout and "
+            "cannot serve a custom num_shards — pass one or the other"
+        )
     blocks_sh = _batch_blocks_sharded(
         bidx, qt_full, qt, seed_df, k, algo, prefilter, ss, shard_bmw,
-        sharded_bidx=sharded_bidx if num_shards is None else None,
+        sharded_bidx=sharded_bidx,
     )
     if norms_bc is None:
         slices = slices_pre if slices_pre is not None else norm_slices(ndf, ss)

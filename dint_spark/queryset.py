@@ -55,8 +55,11 @@ def queries_df(spark: SparkSession) -> DataFrame:
     """
     rows = []
     for qid, terms in QUERY_SET:
-        arr = ", ".join("'" + t + "'" for t in terms)
-        rows.append(f"(CAST({qid} AS BIGINT), array({arr}))")
+        # escape ' as '' (Spark SQL string-literal escaping) so an
+        # extended QUERY_SET term can never break or reshape the VALUES
+        # clause; byte-identical output for the current quote-free set
+        arr = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        rows.append(f"(CAST({int(qid)} AS BIGINT), array({arr}))")
     df = spark.sql(
         "SELECT col1 AS query_id, col2 AS terms FROM VALUES " + ", ".join(rows)
     )

@@ -26,19 +26,28 @@ def materialize(df: DataFrame) -> DataFrame:
 
 
 _BC_CACHE: dict = {}
+_BC_CACHE_MAX = 64  # a session holds a handful of codecs; bound the pins
 
 
 def memo_broadcast(spark, obj):
-    """Memoized sc.broadcast(obj) keyed on (context, object) identity.
+    """Memoized sc.broadcast(obj) keyed on (context, object) IDENTITY —
+    the live objects, not their (recyclable) ids.
 
     Codec objects (with their dictionary models, MB-class for DINT)
     were re-pickled and re-shipped on every decode/serve call — a fixed
-    per-call cost for a per-index artifact. The object is strongly
-    referenced so a recycled id() can never alias a dead key."""
-    key = (id(spark.sparkContext), id(obj))
+    per-call cost for a per-index artifact. Both the SparkContext and
+    the object are strongly referenced in the cache value and compared
+    with `is`, so a broadcast can never be served to a different
+    (restarted) context whose id() happens to collide, and a recycled
+    object id can never alias. The cache is FIFO-bounded so a
+    long-lived process churning codecs cannot pin broadcasts forever."""
+    sc = spark.sparkContext
+    key = id(obj)
     hit = _BC_CACHE.get(key)
-    if hit is not None and hit[0] is obj:
-        return hit[1]
-    bc = spark.sparkContext.broadcast(obj)
-    _BC_CACHE[key] = (obj, bc)
+    if hit is not None and hit[0] is sc and hit[1] is obj:
+        return hit[2]
+    bc = sc.broadcast(obj)
+    if len(_BC_CACHE) >= _BC_CACHE_MAX:
+        _BC_CACHE.pop(next(iter(_BC_CACHE)))
+    _BC_CACHE[key] = (sc, obj, bc)
     return bc
